@@ -1,0 +1,226 @@
+"""CDS-MVSNet: the full 3-stage cascaded plane-sweep depth network.
+
+Behavioral reference: models/model.py:97-223 (CDSMVSNet) in
+TruongKhang/cds-mvsnet. TPU-first deviations (numerics preserved):
+
+  * The reference runs FeatureNet 2·(V−1) times sequentially because the
+    reference image's epipole differs per source pair (model.py:154-161).
+    Here all 2·(V−1) (image, epipole) pairs are folded into ONE batched
+    FeatureNet call — InstanceNorm is per-sample and BatchNorm uses running
+    stats at eval, so eval numerics are identical while the MXU sees one
+    large batch instead of many tiny launches.
+  * Tensors are NHWC; cost volumes NDHWC; depth planes (B, D[, h, w]).
+  * All shapes static; temperature is a traced scalar (no recompiles while
+    annealing).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops.geometry import epipole_from_fundamental, fundamental_matrix
+from ..ops.resize import resize_linear, resize_nearest
+from ..ops.sampling import initial_depth_hypotheses, refined_depth_hypotheses
+from .cost_reg import init_cost_reg_net
+from .feature_net import FEATURE_OUT_CHANNELS, feature_net, init_feature_net
+from .layers import Params, StatsCollector
+from .refinement import init_refinement, refinement
+from .stage_net import init_vis_heads, stage_net
+
+__all__ = ["apply_cds_mvsnet", "init_cds_mvsnet", "pairwise_epipoles"]
+
+
+def init_cds_mvsnet(key, cfg: ModelConfig) -> Params:
+    keys = jax.random.split(key, 4 + cfg.num_stages)
+    p: Params = {
+        "feature": init_feature_net(keys[0]),
+        "stage_net": {"vis": init_vis_heads(keys[1], cfg.num_stages)},
+    }
+    if cfg.share_cr:
+        p["cost_regularization"] = init_cost_reg_net(keys[2], FEATURE_OUT_CHANNELS[0], 8)
+    else:
+        p["cost_regularization"] = {
+            str(i): init_cost_reg_net(keys[3 + i], FEATURE_OUT_CHANNELS[i], cfg.cr_base_chs[i])
+            for i in range(cfg.num_stages)
+        }
+    if cfg.refine:
+        p["refine_network"] = init_refinement(keys[-1])
+    return p
+
+
+def pairwise_epipoles(ref_cams: jnp.ndarray, src_cams: jnp.ndarray):
+    """Epipoles of (ref, src) pairs from stage-3 cameras.
+
+    Args:
+      ref_cams: ``(B, 2, 4, 4)``; src_cams: ``(B, Vs, 2, 4, 4)``.
+    Returns:
+      (ref_epipoles ``(B, Vs, 2)``, src_epipoles ``(B, Vs, 2)``).
+    """
+    B, Vs = src_cams.shape[0], src_cams.shape[1]
+    ref_flat = jnp.broadcast_to(ref_cams[:, None], (B, Vs, 2, 4, 4)).reshape(B * Vs, 2, 4, 4)
+    src_flat = src_cams.reshape(B * Vs, 2, 4, 4)
+    F = fundamental_matrix(ref_flat, src_flat)
+    ref_epi = epipole_from_fundamental(F).reshape(B, Vs, 2)
+    src_epi = epipole_from_fundamental(jnp.swapaxes(F, 1, 2)).reshape(B, Vs, 2)
+    return ref_epi, src_epi
+
+
+def apply_cds_mvsnet(
+    params: Params,
+    cfg: ModelConfig,
+    imgs: jnp.ndarray,
+    proj_matrices: dict[str, jnp.ndarray],
+    depth_values: jnp.ndarray,
+    temperature=0.001,
+    train: bool = False,
+    gt_depths: dict[str, jnp.ndarray] | None = None,
+    axis_name: str | None = None,
+) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
+    """Run the cascade.
+
+    Args:
+      imgs: ``(B, V, H, W, 3)``, view 0 = reference.
+      proj_matrices: per stage ``(B, V, 2, 4, 4)`` packed cameras.
+      depth_values: ``(B, D)`` full sweep range for the reference view.
+      gt_depths: per stage ``(B, h, w)`` ground truth (training only).
+
+    Returns:
+      (outputs, batch-norm running-stat updates). ``outputs`` has per-stage
+      dicts (depth, photometric_confidence, norm_curv, ...) plus
+      ``refined_depth`` at the working (or full, with refine) resolution.
+    """
+    collector = StatsCollector()
+    B, V, H, W, _ = imgs.shape
+    height, width = (H // 2, W // 2) if cfg.refine else (H, W)
+
+    depth_min = depth_values[:, 0]
+    depth_max = depth_values[:, -1]
+    depth_interval = depth_values[:, 1] - depth_values[:, 0]  # (B,)
+
+    # ---- feature extraction: one batched FeatureNet call over all pairs ----
+    cams3 = proj_matrices["stage3"]
+    ref_epi, src_epi = pairwise_epipoles(cams3[:, 0], cams3[:, 1:])  # (B, V-1, 2)
+
+    work_imgs = imgs
+    if (H, W) != (height, width):
+        work_imgs = resize_nearest(imgs.reshape(B * V, H, W, 3), (height, width)).reshape(
+            B, V, height, width, 3
+        )
+    ref_img_w = work_imgs[:, 0]
+    # Stacked batch: (V-1) copies of the reference (per-pair epipole) then the
+    # V-1 source images. Layout: (2, V-1, B, h, w, 3) -> ((2)(V-1)(B), ...).
+    ref_rep = jnp.broadcast_to(ref_img_w[None], (V - 1, B, height, width, 3))
+    srcs = jnp.moveaxis(work_imgs[:, 1:], 0, 1)  # (V-1, B, h, w, 3)
+    stacked = jnp.concatenate([ref_rep, srcs], axis=0).reshape(2 * (V - 1) * B, height, width, 3)
+    epis = jnp.concatenate(
+        [jnp.moveaxis(ref_epi, 0, 1), jnp.moveaxis(src_epi, 0, 1)], axis=0
+    ).reshape(2 * (V - 1) * B, 2)
+
+    feats_all = feature_net(
+        params["feature"], stacked, epis, temperature,
+        train=train, collector=collector, path="feature", axis_name=axis_name,
+    )
+
+    def unstack(t):  # (2(V-1)B, h, w, c) -> (2, V-1, B, h, w, c)
+        return t.reshape(2, V - 1, B, *t.shape[1:])
+
+    features_ms = {
+        s: tuple(unstack(t) for t in feats_all[s]) for s in feats_all
+    }
+
+    outputs: dict[str, Any] = {}
+    depth = None
+    for stage_idx in range(cfg.num_stages):
+        stage_name = f"stage{stage_idx + 1}"
+        scale = int(cfg.stage_scales[stage_idx])
+        h_s, w_s = height // scale, width // scale
+        ndepth = cfg.ndepths[stage_idx]
+
+        features = [
+            {
+                "ref": tuple(t[0, v] for t in features_ms[stage_name]),
+                "src": tuple(t[1, v] for t in features_ms[stage_name]),
+            }
+            for v in range(V - 1)
+        ]
+
+        if depth is None:
+            depth_samples = initial_depth_hypotheses(depth_values, ndepth)  # (B, D)
+            depth_samples_full = None
+        else:
+            cur = depth if cfg.grad_method != "detach" else jax.lax.stop_gradient(depth)
+            cur = resize_linear(cur[:, None], (height, width), axes=(2, 3))[:, 0]
+            depth_samples = refined_depth_hypotheses(
+                cur, ndepth,
+                (cfg.depth_intervals_ratio[stage_idx] * depth_interval)[:, None, None],
+                depth_min[:, None, None, None],
+                depth_max[:, None, None, None],
+                out_hw=(h_s, w_s),
+            )
+            depth_samples_full = depth_samples
+
+        cost_reg_params = (
+            params["cost_regularization"]
+            if cfg.share_cr
+            else params["cost_regularization"][str(stage_idx)]
+        )
+        cost_reg_path = (
+            "cost_regularization" if cfg.share_cr else f"cost_regularization.{stage_idx}"
+        )
+        gt_stage = gt_depths[stage_name] if gt_depths is not None else None
+
+        outputs_stage = stage_net(
+            params["stage_net"]["vis"],
+            cost_reg_params,
+            features,
+            proj_matrices[stage_name],
+            depth_samples,
+            stage_idx,
+            train=train,
+            collector=collector,
+            cost_reg_path=cost_reg_path,
+            axis_name=axis_name,
+            gt_depth=gt_stage,
+        )
+        depth = outputs_stage["depth"]
+
+        if gt_depths is not None:
+            di_stage = (depth_interval * cfg.stage_scales[stage_idx])[:, None, None, None]
+            samples = (
+                depth_samples[:, :, None, None] if depth_samples_full is None else depth_samples
+            )
+            target = (jnp.abs(samples - gt_stage[:, None]) / di_stage) < (
+                0.5 / cfg.stage_scales[stage_idx]
+            )
+            target = jnp.concatenate(
+                [
+                    jnp.broadcast_to(target, (B, ndepth, h_s, w_s)).astype(jnp.float32),
+                    jnp.ones((B, 1, h_s, w_s), jnp.float32),
+                ],
+                axis=1,
+            )
+            outputs_stage["feat_target"] = target
+
+        outputs[stage_name] = outputs_stage
+
+    if cfg.refine:
+        cur = jax.lax.stop_gradient(depth) / depth_interval[:, None, None]
+        refined = refinement(
+            params["refine_network"],
+            imgs[:, 0],
+            cur[..., None],
+            depth_min / depth_interval,
+            depth_max / depth_interval,
+            train=train,
+            collector=collector,
+            axis_name=axis_name,
+        )[..., 0]
+        outputs["refined_depth"] = refined * depth_interval[:, None, None]
+    else:
+        outputs["refined_depth"] = depth
+
+    return outputs, collector.updates

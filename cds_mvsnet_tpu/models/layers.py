@@ -1,0 +1,258 @@
+"""Functional NN primitives: convolutions and normalization, NHWC/NDHWC layout.
+
+Everything is a pure function over explicit parameter pytrees. Parameter
+trees mirror the reference's ``state_dict`` paths (weights transposed to
+TPU-friendly HWIO / DHWIO) so the checkpoint converter is a mechanical map
+and parity is auditable leaf-by-leaf.
+
+Norm semantics replicated exactly (SURVEY §2.5 — they matter for checkpoint
+parity): InstanceNorm2d has no affine params and computes per-sample stats
+even at eval; BatchNorm uses running stats at eval, biased batch variance for
+normalization and unbiased for the running update at train (torch defaults,
+eps 1e-5, momentum 0.1).
+
+Matmul/conv precision is explicit: TPUs default to bf16 MXU passes, so parity
+paths set HIGHEST (fp32-accurate) while perf paths may lower it.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Params = dict[str, Any]
+
+# Module-global default; HIGHEST = fp32-accurate on the MXU (bf16x6 passes).
+_DEFAULT_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def set_default_precision(p) -> None:
+    global _DEFAULT_PRECISION
+    _DEFAULT_PRECISION = p
+
+
+def default_precision():
+    return _DEFAULT_PRECISION
+
+
+class StatsCollector:
+    """Collects BatchNorm running-stat updates during a traced train step.
+
+    Apply functions record ``{path: new_value}`` entries while tracing; the
+    train step merges the resulting flat dict back into the state pytree.
+    """
+
+    def __init__(self):
+        self.updates: dict[str, jnp.ndarray] = {}
+
+    def add(self, path: str, mean: jnp.ndarray, var: jnp.ndarray) -> None:
+        self.updates[path + ".running_mean"] = mean
+        self.updates[path + ".running_var"] = var
+
+
+# ---------------------------------------------------------------------------
+# Convolutions
+# ---------------------------------------------------------------------------
+
+
+def conv2d(
+    x: jnp.ndarray,
+    p: Params,
+    stride: int | tuple[int, int] = 1,
+    padding: int | tuple[int, int] | None = None,
+    precision=None,
+) -> jnp.ndarray:
+    """2D conv, ``x (B,H,W,I)``, ``p['weight'] (kh,kw,I,O)``, optional bias."""
+    w = p["weight"]
+    kh, kw = w.shape[0], w.shape[1]
+    if padding is None:
+        padding = ((kh - 1) // 2, (kw - 1) // 2)
+    elif isinstance(padding, int):
+        padding = (padding, padding)
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=stride,
+        padding=[(padding[0], padding[0]), (padding[1], padding[1])],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision or _DEFAULT_PRECISION,
+    )
+    if p.get("bias") is not None:
+        out = out + p["bias"]
+    return out
+
+
+def conv3d(
+    x: jnp.ndarray,
+    p: Params,
+    stride: int = 1,
+    padding: int | None = None,
+    precision=None,
+) -> jnp.ndarray:
+    """3D conv, ``x (B,D,H,W,I)``, ``p['weight'] (kd,kh,kw,I,O)``."""
+    w = p["weight"]
+    if padding is None:
+        padding = (w.shape[0] - 1) // 2
+    pad = [(padding, padding)] * 3
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,) * 3,
+        padding=pad,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=precision or _DEFAULT_PRECISION,
+    )
+    if p.get("bias") is not None:
+        out = out + p["bias"]
+    return out
+
+
+def _deconv(x, p, rank: int, stride: int, padding: int, output_padding: int, precision):
+    """Transposed conv as an input-dilated direct conv.
+
+    The converter stores transposed-conv weights spatially flipped and
+    transposed to (k..., I, O), so this is an exact torch ConvTranspose
+    equivalent: pad_lo = k-1-p, pad_hi = k-1-p+output_padding, lhs_dilation =
+    stride.
+    """
+    w = p["weight"]
+    k = w.shape[0]
+    lo = k - 1 - padding
+    hi = k - 1 - padding + output_padding
+    dims = ("NDHWC", "DHWIO", "NDHWC") if rank == 3 else ("NHWC", "HWIO", "NHWC")
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,) * rank,
+        padding=[(lo, hi)] * rank,
+        lhs_dilation=(stride,) * rank,
+        dimension_numbers=dims,
+        precision=precision or _DEFAULT_PRECISION,
+    )
+    if p.get("bias") is not None:
+        out = out + p["bias"]
+    return out
+
+
+def deconv2d(x, p, stride=2, padding=1, output_padding=1, precision=None):
+    return _deconv(x, p, 2, stride, padding, output_padding, precision)
+
+
+def deconv3d(x, p, stride=2, padding=1, output_padding=1, precision=None):
+    return _deconv(x, p, 3, stride, padding, output_padding, precision)
+
+
+# ---------------------------------------------------------------------------
+# Normalization
+# ---------------------------------------------------------------------------
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """InstanceNorm without affine: normalize over all spatial axes
+    (every axis but batch 0 and channel -1), per sample. torch's
+    InstanceNorm2d defaults (affine=False, track_running_stats=False) mean
+    this same computation runs at train *and* eval."""
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.var(x, axis=axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def batch_norm(
+    x: jnp.ndarray,
+    p: Params,
+    train: bool,
+    collector: StatsCollector | None = None,
+    path: str = "",
+    momentum: float = 0.1,
+    eps: float = 1e-5,
+    axis_name: str | None = None,
+) -> jnp.ndarray:
+    """BatchNorm over all axes but channel (-1). Affine if weight present.
+
+    In train mode, records updated running stats into ``collector``. If
+    ``axis_name`` is given, batch stats are averaged across that mapped mesh
+    axis (sync-BN for data-parallel training).
+    """
+    if train:
+        axes = tuple(range(x.ndim - 1))
+        mean = jnp.mean(x, axis=axes)
+        mean_sq = jnp.mean(jnp.square(x), axis=axes)
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean_sq = jax.lax.pmean(mean_sq, axis_name)
+        var = mean_sq - jnp.square(mean)
+        if collector is not None:
+            n = x.size // x.shape[-1]
+            if axis_name is not None:
+                n = n * jax.lax.psum(1, axis_name)
+            unbiased = var * (n / max(n - 1, 1))
+            collector.add(
+                path,
+                (1 - momentum) * p["running_mean"] + momentum * mean,
+                (1 - momentum) * p["running_var"] + momentum * unbiased,
+            )
+    else:
+        mean = p["running_mean"]
+        var = p["running_var"]
+    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    if p.get("weight") is not None:
+        out = out * p["weight"] + p["bias"]
+    return out
+
+
+def leaky_relu(x: jnp.ndarray, slope: float = 0.1) -> jnp.ndarray:
+    return jnp.where(x >= 0, x, x * slope)
+
+
+# ---------------------------------------------------------------------------
+# Initialization (torch-default semantics, for from-scratch training)
+# ---------------------------------------------------------------------------
+
+
+def init_conv(key, kshape: tuple[int, ...], cin_eff: int, bias: bool) -> Params:
+    """torch Conv default init: kaiming_uniform(a=sqrt(5)) ⇒ U(±1/sqrt(fan_in))
+    for the weight; bias U(±1/sqrt(fan_in)). ``kshape`` = (k..., I, O)."""
+    wkey, bkey = jax.random.split(key)
+    receptive = math.prod(kshape[:-2])
+    fan_in = cin_eff * receptive
+    bound = 1.0 / math.sqrt(fan_in)
+    p: Params = {"weight": jax.random.uniform(wkey, kshape, jnp.float32, -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(bkey, (kshape[-1],), jnp.float32, -bound, bound)
+    return p
+
+
+def init_conv2d(key, kh, kw, cin, cout, bias) -> Params:
+    return init_conv(key, (kh, kw, cin, cout), cin, bias)
+
+
+def init_conv3d(key, k, cin, cout, bias) -> Params:
+    return init_conv(key, (k, k, k, cin, cout), cin, bias)
+
+
+def init_deconv(key, kshape, cin, cout, bias) -> Params:
+    """ConvTranspose fan_in in torch is cout * receptive (weight shape
+    (I,O,k..)); stored here already flipped/transposed to (k..., I, O)."""
+    wkey, bkey = jax.random.split(key)
+    receptive = math.prod(kshape[:-2])
+    fan_in = cout * receptive
+    bound = 1.0 / math.sqrt(fan_in)
+    p: Params = {"weight": jax.random.uniform(wkey, kshape, jnp.float32, -bound, bound)}
+    if bias:
+        p["bias"] = jax.random.uniform(bkey, (cout,), jnp.float32, -bound, bound)
+    return p
+
+
+def init_batch_norm(c: int) -> Params:
+    return {
+        "weight": jnp.ones((c,), jnp.float32),
+        "bias": jnp.zeros((c,), jnp.float32),
+        "running_mean": jnp.zeros((c,), jnp.float32),
+        "running_var": jnp.ones((c,), jnp.float32),
+    }

@@ -1,0 +1,126 @@
+"""Per-stage cost-volume construction with learned visibility weighting.
+
+Behavioral reference: models/model.py:11-94 (StageNet) in
+TruongKhang/cds-mvsnet. For each source view: plane-sweep warp, inner-product
+cost, entropy of the per-depth similarity softmax, and a small CNN that maps
+(entropy, reference curvature) to a per-pixel visibility weight in (0, 1);
+volumes are visibility-weighted-averaged, regularized by CostRegNet, and
+regressed to depth + confidence.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .cost_reg import cost_reg_net
+from .layers import Params, StatsCollector, conv2d, init_conv2d
+from .refinement import conv_bn_relu_2d, init_conv_bn_relu_2d
+from ..ops.geometry import homography_warp
+from ..ops.sampling import confidence_regression, depth_regression, softmax_entropy
+
+__all__ = ["stage_net", "init_vis_heads"]
+
+
+def _vis_head(p, x, train, collector, path, axis_name):
+    y = conv_bn_relu_2d(p["0"], x, train, collector, f"{path}.0", axis_name)
+    y = conv_bn_relu_2d(p["1"], y, train, collector, f"{path}.1", axis_name)
+    y = conv_bn_relu_2d(p["2"], y, train, collector, f"{path}.2", axis_name)
+    y = conv2d(y, p["3"])
+    return jax.nn.sigmoid(y)
+
+
+def stage_net(
+    vis_params: Params,
+    cost_reg_params: Params,
+    features: list[dict],
+    cams: jnp.ndarray,
+    depth_values: jnp.ndarray,
+    stage_idx: int,
+    train: bool = False,
+    collector: StatsCollector | None = None,
+    path: str = "stage_net",
+    cost_reg_path: str = "cost_regularization",
+    axis_name: str | None = None,
+    gt_depth: jnp.ndarray | None = None,
+) -> dict:
+    """One cascade stage.
+
+    Args:
+      features: per source view, ``{"ref": (feat, nc_sum, nc), "src": (...)}``
+        with feats ``(B, h, w, C)`` (the reference recomputes ref features per
+        source pair because the epipole differs — model.py:154-161).
+      cams: ``(B, V, 2, 4, 4)`` packed stage cameras (view 0 = reference).
+      depth_values: ``(B, D, h, w)`` per-pixel hypotheses.
+      gt_depth: optional ``(B, h, w)`` for the feature-metric loss branch.
+
+    Returns:
+      dict with depth ``(B,h,w)``, photometric_confidence, norm_curv, and in
+      training feat_distance ``(B, D(+1), h, w)``.
+    """
+    B, V = cams.shape[0], cams.shape[1]
+    num_depth = depth_values.shape[1]
+    ref_cam = cams[:, 0]
+
+    volume_sum = 0.0
+    vis_sum = 0.0
+    nc_sum = 0.0
+    feat_distance_vol = 0.0
+    gt_feat_distance = 0.0
+
+    for v in range(1, V):
+        ref_feat, ref_nc_sum, ref_nc = features[v - 1]["ref"]
+        src_feat, src_nc_sum, _ = features[v - 1]["src"]
+        src_cam = cams[:, v]
+
+        warped = homography_warp(src_feat, ref_cam, src_cam, depth_values)  # (B,D,h,w,C)
+        in_prod = ref_feat[:, None] * warped
+        sim = jnp.sum(in_prod, axis=-1)  # (B, D, h, w)
+        entropy = softmax_entropy(sim, axis=1)[:, 0][..., None]  # (B, h, w, 1)
+        vis = _vis_head(
+            vis_params[str(stage_idx)],
+            jnp.concatenate([entropy, ref_nc], axis=-1),
+            train, collector, f"{path}.vis.{stage_idx}", axis_name,
+        )  # (B, h, w, 1)
+
+        volume_sum = volume_sum + in_prod * vis[:, None]
+        vis_sum = vis_sum + vis
+        nc_sum = nc_sum + (ref_nc_sum + src_nc_sum) / 2
+        if train:
+            feat_distance_vol = feat_distance_vol + sim * vis[..., 0][:, None]
+        if gt_depth is not None:
+            gt_warped = homography_warp(src_feat, ref_cam, src_cam, gt_depth[:, None])
+            gt_sim = jnp.sum(ref_feat[:, None] * gt_warped, axis=-1)  # (B, 1, h, w)
+            gt_feat_distance = gt_feat_distance + gt_sim * vis[..., 0][:, None]
+
+    volume_mean = volume_sum / (vis_sum[:, None] + 1e-6)  # (B,D,h,w,C)
+    nc_mean = nc_sum / (V - 1)
+
+    cost = cost_reg_net(
+        cost_reg_params, volume_mean, train, collector, cost_reg_path, axis_name
+    )[..., 0]  # (B, D, h, w)
+    prob = jax.nn.softmax(cost, axis=1)
+    depth = depth_regression(prob, depth_values)
+    conf = confidence_regression(prob)
+
+    out = {"depth": depth, "photometric_confidence": conf, "norm_curv": nc_mean}
+    if train:
+        feat_distance_vol = feat_distance_vol / (vis_sum[..., 0][:, None] + 1e-6)
+        if gt_depth is not None:
+            gt_feat_distance = gt_feat_distance / (vis_sum[..., 0][:, None] + 1e-6)
+            feat_distance_vol = jnp.concatenate([feat_distance_vol, gt_feat_distance], axis=1)
+        out["feat_distance"] = feat_distance_vol
+    return out
+
+
+def init_vis_heads(key, num_stages: int = 3) -> Params:
+    p: Params = {}
+    for s in range(num_stages):
+        keys = jax.random.split(jax.random.fold_in(key, s), 4)
+        p[str(s)] = {
+            "0": init_conv_bn_relu_2d(keys[0], 2, 16),
+            "1": init_conv_bn_relu_2d(keys[1], 16, 16),
+            "2": init_conv_bn_relu_2d(keys[2], 16, 16),
+            "3": init_conv2d(keys[3], 1, 1, 16, 1, True),
+        }
+    return p
