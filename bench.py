@@ -1,0 +1,88 @@
+"""Benchmark: DTU-config depth-map inference throughput on one TPU chip.
+
+Measures depth maps/sec/chip at the BASELINE.json metric point (1152x864,
+5 views, 192 depth hypotheses — reference test.py defaults; refinement off,
+as required for 864-divisibility, matching scripts/tt_eval.sh's no-refine
+eval mode). Prints ONE JSON line.
+
+``vs_baseline`` compares against an assumed A100-PyTorch per-view throughput
+of 4.0 maps/s for the reference implementation at this operating point (the
+repo publishes no runtime number — README.md:4 says only "real-time"; 4 maps/s
+is a generous estimate for a CasMVSNet-class network at 1152x864 on A100).
+BASELINE.json's target is vs_baseline >= 8.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_PYTORCH_MAPS_PER_SEC = 4.0
+
+H, W, V, D = 864, 1152, 5, 192
+WARMUP = 2
+ITERS = 8
+
+
+def main():
+    from cds_mvsnet_tpu.config import ModelConfig
+    from cds_mvsnet_tpu.models import layers
+    from cds_mvsnet_tpu.models.cds_mvsnet import apply_cds_mvsnet, init_cds_mvsnet
+    from cds_mvsnet_tpu.utils.synthetic import synthetic_batch
+
+    precision = os.environ.get("BENCH_PRECISION", "highest")
+    layers.set_default_precision(
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
+
+    cfg = ModelConfig(refine=False)
+    ckpt = "/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth"
+    if os.path.exists(ckpt):
+        from cds_mvsnet_tpu.models.convert import convert_checkpoint
+
+        params = convert_checkpoint(ckpt)
+        params.pop("refine_network", None)
+    else:
+        params = init_cds_mvsnet(jax.random.PRNGKey(0), cfg)
+    params = jax.device_put(params)
+
+    batch = jax.tree.map(
+        jnp.asarray, synthetic_batch(B=1, V=V, H=H, W=W, D=D, refine=False)
+    )
+
+    @jax.jit
+    def forward(params, imgs, proj, depth_values):
+        outputs, _ = apply_cds_mvsnet(
+            params, cfg, imgs, proj, depth_values, temperature=0.01, train=False
+        )
+        return outputs["refined_depth"], outputs["stage3"]["photometric_confidence"]
+
+    args = (params, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
+    for _ in range(WARMUP):
+        jax.block_until_ready(forward(*args))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(*args)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    maps_per_sec = ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"DTU depth maps/sec/chip at {W}x{H}, {V} views, {D} depths",
+                "value": round(maps_per_sec, 4),
+                "unit": "maps/sec/chip",
+                "vs_baseline": round(maps_per_sec / A100_PYTORCH_MAPS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -51,7 +51,7 @@ class TrainConfig:
     epochs: int = 30
     lr: float = 0.01
     weight_decay: float = 0.01
-    momentum: float = 0.9
+    momentum: float = 0.0  # torch SGD default; reference config sets none
     lr_step: int = 3
     lr_gamma: float = 0.5
     dlossw: tuple[float, ...] = (0.5, 1.0, 2.0)

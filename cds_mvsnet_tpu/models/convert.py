@@ -113,14 +113,16 @@ def convert_checkpoint(path) -> Params:
 # ---------------------------------------------------------------------------
 
 
-def flatten_params(tree: Params, prefix: str = "") -> dict[str, np.ndarray]:
+def flatten_params(tree: Params, prefix: str = "") -> dict[str, Any]:
+    """Flatten a nested tree to dotted keys. Leaves are passed through
+    untouched (jit-safe: may be tracers)."""
     flat = {}
     for k, v in tree.items():
         key = f"{prefix}.{k}" if prefix else k
         if isinstance(v, dict):
             flat.update(flatten_params(v, key))
         else:
-            flat[key] = np.asarray(v)
+            flat[key] = v
     return flat
 
 
@@ -137,7 +139,7 @@ def unflatten_params(flat: dict[str, np.ndarray]) -> Params:
 
 def save_params(path, tree: Params) -> None:
     Path(path).parent.mkdir(parents=True, exist_ok=True)
-    np.savez(path, **flatten_params(tree))
+    np.savez(path, **{k: np.asarray(v) for k, v in flatten_params(tree).items()})
 
 
 def load_params(path) -> Params:
