@@ -1,0 +1,95 @@
+"""Inference + fusion CLI (the reference test.py, live flags only — the dead
+flags listed in SURVEY §2.5 are intentionally not reproduced)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from pathlib import Path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Predict depth, filter, and fuse")
+    p.add_argument("--dataset", default="dtu", choices=["dtu", "tt", "general"])
+    p.add_argument("--testpath", required=True, help="data dir containing scans")
+    p.add_argument("--testlist", default="all", help="scan list file or 'all'")
+    p.add_argument("--resume", required=True, help="checkpoint (.npz ours or .pth/.ckpt torch)")
+    p.add_argument("--outdir", default="./outputs")
+    p.add_argument("--numdepth", type=int, default=192)
+    p.add_argument("--interval_scale", type=float, default=1.06)
+    p.add_argument("--num_view", type=int, default=5)
+    p.add_argument("--max_h", type=int, default=864)
+    p.add_argument("--max_w", type=int, default=1152)
+    p.add_argument("--fix_res", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.01)
+    p.add_argument("--no_refinement", action="store_true")
+    p.add_argument("--batch_size", type=int, default=1)
+    p.add_argument("--filter_method", default="normal", choices=["normal", "none"])
+    p.add_argument("--conf", default="0.0,0.0,0.0", help="per-stage confidence thresholds")
+    p.add_argument("--thres_view", type=int, default=3)
+    p.add_argument("--thres_disp", type=float, default=1.0)
+    p.add_argument("--num_src_fusion", type=int, default=10)
+    p.add_argument("--skip_inference", action="store_true", help="fuse existing depth maps only")
+    return p
+
+
+def load_any_checkpoint(path: str):
+    from ..models.convert import convert_checkpoint, load_params
+
+    if path.endswith(".npz"):
+        return load_params(path)
+    return convert_checkpoint(path)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from ..config import ModelConfig
+    from ..eval.depth_inference import save_depths
+    from ..fusion.pipeline import FusionConfig, fuse_scan
+
+    if args.testlist != "all":
+        scans = [s for s in Path(args.testlist).read_text().split() if s]
+    else:
+        scans = sorted(
+            e for e in os.listdir(args.testpath) if os.path.isdir(os.path.join(args.testpath, e))
+        )
+
+    model_cfg = ModelConfig(refine=not args.no_refinement)
+    params = load_any_checkpoint(args.resume)
+    if not model_cfg.refine:
+        params.pop("refine_network", None)
+
+    if not args.skip_inference:
+        stats = save_depths(
+            params, model_cfg,
+            datapath=args.testpath, scans=scans, outdir=args.outdir,
+            nviews=args.num_view, ndepths=args.numdepth,
+            interval_scale=args.interval_scale, max_h=args.max_h, max_w=args.max_w,
+            fix_res=args.fix_res, dataset=args.dataset,
+            temperature=args.temperature, batch_size=args.batch_size,
+        )
+        print(json.dumps({"inference": stats}))
+
+    if args.filter_method == "normal":
+        fcfg = FusionConfig(
+            n_src_views=args.num_src_fusion,
+            conf_thresholds=tuple(float(x) for x in args.conf.split(",")),
+            img_dist_thresh=args.thres_disp,
+            depth_thresh=0.01,
+            vthresh=args.thres_view,
+        )
+        for scan in scans:
+            n = fuse_scan(
+                os.path.join(args.testpath, scan),
+                os.path.join(args.outdir, scan),
+                os.path.join(args.outdir, f"{scan}.ply"),
+                fcfg,
+                verbose=True,
+            )
+            print(f"{scan}: {n} fused points")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Epoch-level training orchestration: schedules, validation, checkpoints.
+
+Behavioral reference: base/base_trainer.py + trainer/trainer.py in
+TruongKhang/cds-mvsnet — temperature annealing over the first 4 epochs,
+per-epoch StepLR, periodic validation with threshold metrics, best-monitor
+tracking with early stop, and checkpoints every save_period epochs.
+Checkpoints are .npz param trees + a JSON sidecar (epoch, monitor_best,
+config); like the reference, optimizer state is not persisted
+(base_trainer.py:162-167 intentionally skips it).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..models.cds_mvsnet import apply_cds_mvsnet
+from ..models.convert import load_params, save_params
+from .loss import final_loss
+from .metrics import DictAverageMeter, validation_metrics
+from .train_step import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+    temperature_schedule,
+)
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Config,
+        params,
+        train_loaders: list,
+        val_loaders: list | None = None,
+        save_dir: str | None = None,
+        log=print,
+    ):
+        self.config = config
+        self.model_cfg = config.model
+        self.train_cfg = config.train
+        self.train_loaders = train_loaders
+        self.val_loaders = val_loaders or []
+        self.log = log
+
+        self.save_dir = Path(save_dir or config.save_dir)
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        (self.save_dir / "config.json").write_text(config.to_json())
+
+        self.state, (self.tx, self.lr_schedule) = init_train_state(params, self.train_cfg)
+        self.step_fn = make_train_step(self.model_cfg, self.train_cfg, self.tx, self.lr_schedule)
+        self._eval_forward = None
+        self.start_epoch = 1
+        self.monitor_best = float("inf")
+        self.not_improved = 0
+
+    # ------------------------------------------------------------------
+    def train(self):
+        for epoch in range(self.start_epoch, self.train_cfg.epochs + 1):
+            self.state = TrainState(self.state.params, self.state.opt_state, jnp.int32(epoch))
+            log = self._train_epoch(epoch)
+            if epoch % self.train_cfg.eval_freq == 0 or epoch == self.train_cfg.epochs:
+                val = self._valid_epoch(epoch)
+                log.update({f"val_{k}": v for k, v in val.items()})
+                monitor = val.get("loss", float("inf"))
+                if monitor < self.monitor_best:
+                    self.monitor_best = monitor
+                    self.not_improved = 0
+                    self._save_checkpoint(epoch, best=True)
+                else:
+                    self.not_improved += 1
+                if self.not_improved > self.train_cfg.early_stop:
+                    self.log(f"early stop at epoch {epoch}")
+                    break
+            if epoch % self.train_cfg.save_period == 0:
+                self._save_checkpoint(epoch)
+            self.log(f"epoch {epoch}: " + ", ".join(f"{k}={v:.4f}" for k, v in log.items()))
+        return self.monitor_best
+
+    # ------------------------------------------------------------------
+    def _train_epoch(self, epoch: int) -> dict:
+        temperature = jnp.float32(temperature_schedule(epoch))
+        meter = DictAverageMeter()
+        for dl in self.train_loaders:
+            for it, batch in enumerate(dl):
+                t0 = time.perf_counter()
+                batch.pop("filename", None)
+                self.state, metrics = self.step_fn(self.state, batch, temperature)
+                if it % self.train_cfg.logging_every == 0:
+                    loss = float(metrics["loss"])
+                    self.log(
+                        f"epoch {epoch} iter {it}/{len(dl)} loss {loss:.3f} "
+                        f"({time.perf_counter() - t0:.2f}s)"
+                    )
+                meter.update({k: float(v) for k, v in metrics.items()})
+        return meter.mean()
+
+    # ------------------------------------------------------------------
+    def _valid_epoch(self, epoch: int) -> dict:
+        if self._eval_forward is None:
+
+            @jax.jit
+            def fwd(params, imgs, proj, depth_values):
+                outputs, _ = apply_cds_mvsnet(
+                    params, self.model_cfg, imgs, proj, depth_values,
+                    temperature=0.01, train=False,
+                )
+                return outputs
+
+            self._eval_forward = fwd
+
+        meter = DictAverageMeter()
+        gt_stage = "stage4"
+        for dl in self.val_loaders:
+            for batch in dl:
+                batch.pop("filename", None)
+                dv = batch["depth_values"]
+                outputs = self._eval_forward(
+                    self.state.params, batch["imgs"], batch["proj_matrices"], dv
+                )
+                di = dv[:, 1] - dv[:, 0]
+                loss, depth_loss = final_loss(
+                    outputs, batch["depth"], batch["mask"], self.train_cfg.dlossw, di
+                )
+                m = validation_metrics(
+                    outputs["refined_depth"],
+                    batch["depth"][gt_stage],
+                    batch["mask"][gt_stage],
+                    float(di[0]),
+                )
+                m.update({"loss": loss, "depth_loss": depth_loss})
+                meter.update({k: float(v) for k, v in m.items()})
+        return meter.mean()
+
+    # ------------------------------------------------------------------
+    def _save_checkpoint(self, epoch: int, best: bool = False):
+        name = "model_best" if best else f"checkpoint-epoch{epoch}"
+        save_params(self.save_dir / f"{name}.npz", self.state.params)
+        meta = {"epoch": epoch, "monitor_best": self.monitor_best, "arch": "CDSMVSNet"}
+        (self.save_dir / f"{name}.json").write_text(json.dumps(meta))
+        self.log(f"saved checkpoint {name}")
+
+    def resume(self, path):
+        """Restore weights + epoch (optimizer state intentionally not
+        restored, matching the reference)."""
+        path = Path(path)
+        params = load_params(path)
+        params = jax.tree.map(jnp.asarray, params)
+        self.state = TrainState(params, self.tx.init(params), self.state.epoch)
+        meta_path = path.with_suffix(".json")
+        if meta_path.exists():
+            meta = json.loads(meta_path.read_text())
+            self.start_epoch = int(meta.get("epoch", 0)) + 1
+            self.monitor_best = float(meta.get("monitor_best", float("inf")))
+        self.log(f"resumed from {path} at epoch {self.start_epoch}")
