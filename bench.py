@@ -38,6 +38,9 @@ def main():
     layers.set_default_precision(
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
     )
+    compute_dtype = (
+        jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
+    )
 
     cfg = ModelConfig(refine=False)
     ckpt = "/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth"
@@ -57,7 +60,8 @@ def main():
     @jax.jit
     def forward(params, imgs, proj, depth_values):
         outputs, _ = apply_cds_mvsnet(
-            params, cfg, imgs, proj, depth_values, temperature=0.01, train=False
+            params, cfg, imgs, proj, depth_values, temperature=0.01, train=False,
+            compute_dtype=compute_dtype, feature_chunk=2,
         )
         return outputs["refined_depth"], outputs["stage3"]["photometric_confidence"]
 

@@ -1,0 +1,144 @@
+"""DTU point-cloud benchmark scorer — Python replacement for the MATLAB eval.
+
+Behavioral reference: evaluations/dtu/*.m in TruongKhang/cds-mvsnet
+(BaseEvalMain_web.m, PointCompareMain.m, MaxDistCP.m, reducePts_haa.m,
+ComputeStat_web.m). Pipeline per scan:
+
+  1. stochastically grid-reduce predicted points to >= 0.2 mm spacing
+     (reducePts_haa: random order, drop every point within dst of a kept one)
+  2. accuracy  = nearest-neighbor distance pred -> GT structured-light scan
+     completeness = distance GT -> pred (both clipped at 60 mm during
+     computation; scipy cKDTree replaces the chunked-block MATLAB search)
+  3. accuracy keeps only predictions inside the observability mask
+     (ObsMask{set}_10.mat voxel grid); completeness keeps only GT points
+     above the ground plane (Plane{set}.mat)
+  4. discard distances >= 20 mm; per-scan means; final Acc/Comp/Overall =
+     mean over the 22 scans (lists/dtu/test.txt)
+
+Needs the official "SampleSet/MVS Data" directory (Points/stl plys +
+ObsMask .mats), read via scipy.io.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+from scipy.spatial import cKDTree
+
+from ..io.ply import read_ply
+
+__all__ = ["DTU_EVAL_SETS", "reduce_points", "nn_distances", "evaluate_scan", "evaluate_scans"]
+
+DTU_EVAL_SETS = [1, 4, 9, 10, 11, 12, 13, 15, 23, 24, 29, 32, 33, 34, 48, 49, 62, 75, 77, 110, 114, 118]
+
+
+def reduce_points(pts: np.ndarray, dst: float = 0.2, seed: int = 0) -> np.ndarray:
+    """Stochastic min-distance reduction (reducePts_haa.m): visit points in
+    random order; keep a point iff no previously-kept point lies within dst.
+
+    Implemented by snapping to a dst-sized voxel grid and keeping the first
+    visited point per voxel after a random permutation — equivalent density
+    control at identical asymptotics, O(N) instead of KD-range-searches.
+    """
+    n = len(pts)
+    order = np.random.default_rng(seed).permutation(n)
+    cells = np.floor(pts[order] / dst).astype(np.int64)
+    # unique with "first occurrence in visit order"
+    _, first_idx = np.unique(cells, axis=0, return_index=True)
+    keep = order[np.sort(first_idx)]
+    return pts[np.sort(keep)]
+
+
+def nn_distances(q_from: np.ndarray, q_to: np.ndarray, max_dist: float = 60.0) -> np.ndarray:
+    """Distance from each q_from point to its nearest q_to point, clipped to
+    max_dist (MaxDistCP.m semantics; empty target => max_dist)."""
+    if len(q_to) == 0:
+        return np.full(len(q_from), max_dist, dtype=np.float64)
+    tree = cKDTree(q_to)
+    d, _ = tree.query(q_from, k=1, distance_upper_bound=max_dist)
+    return np.minimum(np.nan_to_num(d, posinf=max_dist), max_dist)
+
+
+@dataclass
+class ScanResult:
+    scan: int
+    acc_mean: float
+    comp_mean: float
+    acc_median: float
+    comp_median: float
+    n_data: int
+    n_stl: int
+
+
+def evaluate_scan(
+    pred_ply: str,
+    gt_dir: str,
+    scan: int,
+    dst: float = 0.2,
+    max_dist: float = 20.0,
+    margin: int = 10,
+) -> ScanResult:
+    from scipy.io import loadmat
+
+    pred, _ = read_ply(pred_ply)
+    pred = reduce_points(pred.astype(np.float64), dst)
+
+    stl, _ = read_ply(os.path.join(gt_dir, "Points", "stl", f"stl{scan:03d}_total.ply"))
+    stl = stl.astype(np.float64)
+
+    mask_mat = loadmat(os.path.join(gt_dir, "ObsMask", f"ObsMask{scan}_{margin}.mat"))
+    obs_mask = mask_mat["ObsMask"]
+    bb = mask_mat["BB"].astype(np.float64)  # (2, 3)
+    res = float(np.asarray(mask_mat["Res"]).squeeze())
+
+    d_data = nn_distances(pred, stl)  # pred -> GT  (accuracy)
+    d_stl = nn_distances(stl, pred)  # GT -> pred  (completeness)
+
+    # observability mask on predictions (PointCompareMain.m:37-46; MATLAB is
+    # 1-based: Qv = round((q-BB(1,:))/Res + 1), valid when 1 <= Qv <= size)
+    qv = np.round((pred - bb[0]) / res).astype(np.int64)  # 0-based equivalent
+    inb = (
+        (qv >= 0).all(axis=1)
+        & (qv[:, 0] < obs_mask.shape[0])
+        & (qv[:, 1] < obs_mask.shape[1])
+        & (qv[:, 2] < obs_mask.shape[2])
+    )
+    in_mask = np.zeros(len(pred), dtype=bool)
+    q = qv[inb]
+    in_mask[inb] = obs_mask[q[:, 0], q[:, 1], q[:, 2]] > 0
+
+    plane = loadmat(os.path.join(gt_dir, "ObsMask", f"Plane{scan}.mat"))["P"].reshape(4)
+    above = stl @ plane[:3] + plane[3] > 0
+
+    fd_data = d_data[in_mask]
+    fd_data = fd_data[fd_data < max_dist]
+    fd_stl = d_stl[above]
+    fd_stl = fd_stl[fd_stl < max_dist]
+
+    return ScanResult(
+        scan=scan,
+        acc_mean=float(np.mean(fd_data)) if len(fd_data) else float("nan"),
+        comp_mean=float(np.mean(fd_stl)) if len(fd_stl) else float("nan"),
+        acc_median=float(np.median(fd_data)) if len(fd_data) else float("nan"),
+        comp_median=float(np.median(fd_stl)) if len(fd_stl) else float("nan"),
+        n_data=len(fd_data),
+        n_stl=len(fd_stl),
+    )
+
+
+def evaluate_scans(ply_dir: str, gt_dir: str, scans=None, name_fmt="mvsnet{scan:03d}_l3.ply"):
+    """Full-benchmark driver; returns (per-scan results, summary dict with
+    the README.md:63-66 headline numbers: acc/comp/overall in mm)."""
+    scans = scans or DTU_EVAL_SETS
+    results = []
+    for scan in scans:
+        ply = os.path.join(ply_dir, name_fmt.format(scan=scan))
+        if not os.path.exists(ply):
+            alt = os.path.join(ply_dir, f"scan{scan}.ply")
+            ply = alt if os.path.exists(alt) else ply
+        results.append(evaluate_scan(ply, gt_dir, scan))
+    acc = float(np.mean([r.acc_mean for r in results]))
+    comp = float(np.mean([r.comp_mean for r in results]))
+    return results, {"acc_mm": acc, "comp_mm": comp, "overall_mm": (acc + comp) / 2}

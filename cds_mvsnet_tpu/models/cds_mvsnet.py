@@ -79,6 +79,8 @@ def apply_cds_mvsnet(
     train: bool = False,
     gt_depths: dict[str, jnp.ndarray] | None = None,
     axis_name: str | None = None,
+    compute_dtype=jnp.float32,
+    feature_chunk: int | None = None,
 ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
     """Run the cascade.
 
@@ -87,6 +89,12 @@ def apply_cds_mvsnet(
       proj_matrices: per stage ``(B, V, 2, 4, 4)`` packed cameras.
       depth_values: ``(B, D)`` full sweep range for the reference view.
       gt_depths: per stage ``(B, h, w)`` ground truth (training only).
+      compute_dtype: dtype of the conv/feature/volume path. bf16 halves the
+        HBM footprint of lane-padded small-channel activations (XLA:TPU pads
+        conv channels to 128); geometry, softmaxes, entropy, and depth
+        regression stay fp32 regardless.
+      feature_chunk: process the 2·(V−1)-image stacked FeatureNet batch this
+        many images at a time to bound full-resolution activation peaks.
 
     Returns:
       (outputs, batch-norm running-stat updates). ``outputs`` has per-stage
@@ -120,10 +128,28 @@ def apply_cds_mvsnet(
         [jnp.moveaxis(ref_epi, 0, 1), jnp.moveaxis(src_epi, 0, 1)], axis=0
     ).reshape(2 * (V - 1) * B, 2)
 
-    feats_all = feature_net(
-        params["feature"], stacked, epis, temperature,
-        train=train, collector=collector, path="feature", axis_name=axis_name,
-    )
+    stacked = stacked.astype(compute_dtype)
+
+    def run_features(xs, es):
+        return feature_net(
+            params["feature"], xs, es, temperature,
+            train=train, collector=collector, path="feature", axis_name=axis_name,
+        )
+
+    n_stack = stacked.shape[0]
+    if feature_chunk is None or feature_chunk >= n_stack or train:
+        feats_all = run_features(stacked, epis)
+    else:
+        parts = [
+            run_features(stacked[i : i + feature_chunk], epis[i : i + feature_chunk])
+            for i in range(0, n_stack, feature_chunk)
+        ]
+        feats_all = {
+            s: tuple(
+                jnp.concatenate([p[s][k] for p in parts], axis=0) for k in range(3)
+            )
+            for s in parts[0]
+        }
 
     def unstack(t):  # (2(V-1)B, h, w, c) -> (2, V-1, B, h, w, c)
         return t.reshape(2, V - 1, B, *t.shape[1:])
@@ -211,7 +237,7 @@ def apply_cds_mvsnet(
         cur = jax.lax.stop_gradient(depth) / depth_interval[:, None, None]
         refined = refinement(
             params["refine_network"],
-            imgs[:, 0],
+            imgs[:, 0].astype(compute_dtype),
             cur[..., None],
             depth_min / depth_interval,
             depth_max / depth_interval,

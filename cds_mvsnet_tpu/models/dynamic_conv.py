@@ -35,8 +35,9 @@ def epipolar_direction_quadratic(
     Returns:
       ``(B, H, W, 3)``.
     """
-    xs = jnp.arange(width, dtype=dtype)
-    ys = jnp.arange(height, dtype=dtype)
+    epipole = epipole.astype(jnp.float32)  # direction math needs fp32 range
+    xs = jnp.arange(width, dtype=jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)
     u = xs[None, None, :] - epipole[:, 0, None, None]  # (B, 1, W) -> broadcast
     v = ys[None, :, None] - epipole[:, 1, None, None]  # (B, H, 1)
     u = jnp.broadcast_to(u, (epipole.shape[0], height, width))
@@ -44,7 +45,7 @@ def epipolar_direction_quadratic(
     norm = jnp.sqrt(u * u + v * v)
     u = u / (norm + 1e-6)
     v = v / (norm + 1e-6)
-    return jnp.stack([u * u, 2 * u * v, v * v], axis=-1)
+    return jnp.stack([u * u, 2 * u * v, v * v], axis=-1).astype(dtype)
 
 
 def dynamic_conv(
@@ -83,7 +84,9 @@ def dynamic_conv(
                    axis_name=axis_name)
     w = jax.nn.relu(w)
     w = conv2d(w, p["att_weights"]["3"])  # 1x1, hidden -> K
-    w = jax.nn.softmax(w / temperature, axis=-1)
+    # temperature softmax in fp32: at T=0.01 logits scale by 100x, which
+    # saturates in bf16
+    w = jax.nn.softmax(w.astype(jnp.float32) / temperature, axis=-1).astype(x.dtype)
 
     out = sum(results[i] * w[..., i : i + 1] for i in range(len(size_kernels)))
     norm_curv = jnp.sum(curvs * w, axis=-1, keepdims=True)

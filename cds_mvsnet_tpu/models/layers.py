@@ -66,7 +66,7 @@ def conv2d(
     precision=None,
 ) -> jnp.ndarray:
     """2D conv, ``x (B,H,W,I)``, ``p['weight'] (kh,kw,I,O)``, optional bias."""
-    w = p["weight"]
+    w = p["weight"].astype(x.dtype)
     kh, kw = w.shape[0], w.shape[1]
     if padding is None:
         padding = ((kh - 1) // 2, (kw - 1) // 2)
@@ -83,7 +83,7 @@ def conv2d(
         precision=precision or _DEFAULT_PRECISION,
     )
     if p.get("bias") is not None:
-        out = out + p["bias"]
+        out = out + p["bias"].astype(out.dtype)
     return out
 
 
@@ -95,7 +95,7 @@ def conv3d(
     precision=None,
 ) -> jnp.ndarray:
     """3D conv, ``x (B,D,H,W,I)``, ``p['weight'] (kd,kh,kw,I,O)``."""
-    w = p["weight"]
+    w = p["weight"].astype(x.dtype)
     if padding is None:
         padding = (w.shape[0] - 1) // 2
     pad = [(padding, padding)] * 3
@@ -127,7 +127,7 @@ def _deconv(x, p, rank: int, stride: int, padding: int, output_padding: int, pre
     dims = ("NDHWC", "DHWIO", "NDHWC") if rank == 3 else ("NHWC", "HWIO", "NHWC")
     out = jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(1,) * rank,
         padding=[(lo, hi)] * rank,
         lhs_dilation=(stride,) * rank,
@@ -156,11 +156,13 @@ def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     """InstanceNorm without affine: normalize over all spatial axes
     (every axis but batch 0 and channel -1), per sample. torch's
     InstanceNorm2d defaults (affine=False, track_running_stats=False) mean
-    this same computation runs at train *and* eval."""
+    this same computation runs at train *and* eval. Statistics are computed
+    in fp32 regardless of the activation dtype."""
     axes = tuple(range(1, x.ndim - 1))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.var(x, axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def batch_norm(
@@ -200,9 +202,10 @@ def batch_norm(
     else:
         mean = p["running_mean"]
         var = p["running_var"]
-    out = (x - mean) * jax.lax.rsqrt(var + eps)
+    scale = (jax.lax.rsqrt(var.astype(jnp.float32) + eps)).astype(x.dtype)
+    out = (x - mean.astype(x.dtype)) * scale
     if p.get("weight") is not None:
-        out = out * p["weight"] + p["bias"]
+        out = out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
     return out
 
 

@@ -53,7 +53,9 @@ def refinement(
     d = (depth - depth_min[:, None, None, None]) / rng * 10
 
     conv0 = conv_bn_relu_2d(p["conv0"], img, train, collector, f"{path}.conv0", axis_name)
-    y = conv_bn_relu_2d(p["conv1"], d, train, collector, f"{path}.conv1", axis_name)
+    y = conv_bn_relu_2d(
+        p["conv1"], d.astype(img.dtype), train, collector, f"{path}.conv1", axis_name
+    )
     y = conv_bn_relu_2d(p["conv2"], y, train, collector, f"{path}.conv2", axis_name)
     y = deconv2d(y, p["deconv"])
     y = jax.nn.relu(batch_norm(y, p["bn"], train, collector, f"{path}.bn", axis_name=axis_name))
@@ -64,7 +66,7 @@ def refinement(
     )
 
     up = resize_linear(d, (img.shape[1], img.shape[2]), axes=(1, 2), align_corners=True)
-    d = (up + res) / 10
+    d = (up + res.astype(d.dtype)) / 10
     return d * rng + depth_min[:, None, None, None]
 
 

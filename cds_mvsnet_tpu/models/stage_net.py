@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from .cost_reg import cost_reg_net
-from .layers import Params, StatsCollector, conv2d, init_conv2d
+from .layers import Params, StatsCollector, conv2d, default_precision, init_conv2d
 from .refinement import conv_bn_relu_2d, init_conv_bn_relu_2d
 from ..ops.geometry import homography_warp
 from ..ops.sampling import confidence_regression, depth_regression, softmax_entropy
@@ -68,22 +68,36 @@ def stage_net(
     feat_distance_vol = 0.0
     gt_feat_distance = 0.0
 
+    # Chunk the warp gather so its 4 bilinear-corner temporaries stay within
+    # a ~64 MB budget (the full-volume gather OOMs HBM at DTU eval size).
+    h, w = features[0]["ref"][0].shape[1:3]
+    C = features[0]["ref"][0].shape[-1]
+    chunk_elems = 16 * 1024 * 1024
+    depth_chunk = max(1, min(num_depth, chunk_elems // max(1, h * w * C)))
+
     for v in range(1, V):
         ref_feat, ref_nc_sum, ref_nc = features[v - 1]["ref"]
         src_feat, src_nc_sum, _ = features[v - 1]["src"]
         src_cam = cams[:, v]
 
-        warped = homography_warp(src_feat, ref_cam, src_cam, depth_values)  # (B,D,h,w,C)
-        in_prod = ref_feat[:, None] * warped
-        sim = jnp.sum(in_prod, axis=-1)  # (B, D, h, w)
+        warped = homography_warp(
+            src_feat, ref_cam, src_cam, depth_values, depth_chunk=depth_chunk
+        )  # (B,D,h,w,C)
+        # similarity via a contraction — never materializes ref⊙warped;
+        # accumulate in fp32 (entropy/softmax need it even in bf16 mode)
+        sim = jnp.einsum(
+            "bhwc,bdhwc->bdhw", ref_feat, warped,
+            precision=default_precision(), preferred_element_type=jnp.float32,
+        )
         entropy = softmax_entropy(sim, axis=1)[:, 0][..., None]  # (B, h, w, 1)
         vis = _vis_head(
             vis_params[str(stage_idx)],
-            jnp.concatenate([entropy, ref_nc], axis=-1),
+            jnp.concatenate([entropy.astype(ref_nc.dtype), ref_nc], axis=-1),
             train, collector, f"{path}.vis.{stage_idx}", axis_name,
         )  # (B, h, w, 1)
 
-        volume_sum = volume_sum + in_prod * vis[:, None]
+        # ref⊙warped⊙vis fuses elementwise into the accumulator
+        volume_sum = volume_sum + ref_feat[:, None] * warped * vis[:, None]
         vis_sum = vis_sum + vis
         nc_sum = nc_sum + (ref_nc_sum + src_nc_sum) / 2
         if train:
@@ -99,8 +113,8 @@ def stage_net(
     cost = cost_reg_net(
         cost_reg_params, volume_mean, train, collector, cost_reg_path, axis_name
     )[..., 0]  # (B, D, h, w)
-    prob = jax.nn.softmax(cost, axis=1)
-    depth = depth_regression(prob, depth_values)
+    prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
+    depth = depth_regression(prob, depth_values.astype(jnp.float32))
     conf = confidence_regression(prob)
 
     out = {"depth": depth, "photometric_confidence": conf, "norm_curv": nc_mean}

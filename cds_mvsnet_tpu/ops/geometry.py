@@ -143,11 +143,36 @@ def relative_warp_transform(ref_cam: jnp.ndarray, src_cam: jnp.ndarray):
     return rot, trans
 
 
+def plane_sweep_coords(
+    ref_cam: jnp.ndarray, src_cam: jnp.ndarray, depth_values: jnp.ndarray, H: int, W: int
+):
+    """Source-pixel coordinates of every (depth plane, ref pixel) pair.
+
+    Returns (px, py) each ``(B, D, H*W)``, gradient-stopped (the reference
+    computes the grid under no_grad — warping.py:79).
+    """
+    B, D = depth_values.shape[0], depth_values.shape[1]
+    dtype = depth_values.dtype
+    rot, trans = relative_warp_transform(ref_cam, src_cam)
+
+    y, x = jnp.meshgrid(
+        jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
+    )
+    xyz = jnp.stack([x.ravel(), y.ravel(), jnp.ones(H * W, dtype=dtype)])  # (3, HW)
+    rot_xyz = rot @ xyz  # (B, 3, HW)
+    depth = depth_values.reshape(B, 1, D, -1)  # (B,1,D,1) or (B,1,D,HW)
+    proj_xyz = rot_xyz[:, :, None, :] * depth + trans[:, :, None, :]  # (B, 3, D, HW)
+    px = proj_xyz[:, 0] / (proj_xyz[:, 2] + 1e-6)  # (B, D, HW)
+    py = proj_xyz[:, 1] / (proj_xyz[:, 2] + 1e-6)
+    return jax.lax.stop_gradient(px), jax.lax.stop_gradient(py)
+
+
 def homography_warp(
     src_feat: jnp.ndarray,
     ref_cam: jnp.ndarray,
     src_cam: jnp.ndarray,
     depth_values: jnp.ndarray,
+    depth_chunk: int | None = None,
 ) -> jnp.ndarray:
     """Plane-sweep warp of source features into the reference frustum.
 
@@ -156,6 +181,9 @@ def homography_warp(
       ref_cam, src_cam: ``(B, 2, 4, 4)`` packed (extrinsic, intrinsic).
       depth_values: ``(B, D)`` fronto-parallel planes or ``(B, D, H, W)``
         per-pixel hypotheses.
+      depth_chunk: if set, gather ``depth_chunk`` planes at a time — the
+        bilinear gather materializes 4 corner temporaries, so chunking bounds
+        HBM peak to ~4·chunk·H·W·C instead of 4·D·H·W·C.
 
     Returns:
       ``(B, D, H, W, C)`` warped features (zeros where a plane projects
@@ -163,20 +191,19 @@ def homography_warp(
     """
     B, H, W, C = src_feat.shape
     D = depth_values.shape[1]
+    px, py = plane_sweep_coords(ref_cam, src_cam, depth_values, H, W)
 
-    rot, trans = relative_warp_transform(ref_cam, src_cam)
+    if depth_chunk is None or depth_chunk >= D:
+        warped = grid_sample_pixel(src_feat, px.reshape(B, -1), py.reshape(B, -1))
+        return warped.reshape(B, D, H, W, C)
 
-    y, x = jnp.meshgrid(
-        jnp.arange(H, dtype=src_feat.dtype), jnp.arange(W, dtype=src_feat.dtype), indexing="ij"
-    )
-    xyz = jnp.stack([x.ravel(), y.ravel(), jnp.ones(H * W, dtype=src_feat.dtype)])  # (3, HW)
-    rot_xyz = rot @ xyz  # (B, 3, HW)
-    depth = depth_values.reshape(B, 1, D, -1)  # (B,1,D,1) or (B,1,D,HW)
-    proj_xyz = rot_xyz[:, :, None, :] * depth + trans[:, :, None, :]  # (B, 3, D, HW)
-    px = proj_xyz[:, 0] / (proj_xyz[:, 2] + 1e-6)  # (B, D, HW)
-    py = proj_xyz[:, 1] / (proj_xyz[:, 2] + 1e-6)
-    px = jax.lax.stop_gradient(px)
-    py = jax.lax.stop_gradient(py)
-
-    warped = grid_sample_pixel(src_feat, px.reshape(B, -1), py.reshape(B, -1))
-    return warped.reshape(B, D, H, W, C)
+    chunks = []
+    for d0 in range(0, D, depth_chunk):
+        d1 = min(d0 + depth_chunk, D)
+        w = grid_sample_pixel(
+            src_feat,
+            px[:, d0:d1].reshape(B, -1),
+            py[:, d0:d1].reshape(B, -1),
+        )
+        chunks.append(w.reshape(B, d1 - d0, H, W, C))
+    return jnp.concatenate(chunks, axis=1)
