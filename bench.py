@@ -20,6 +20,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 A100_PYTORCH_MAPS_PER_SEC = 4.0
 
@@ -66,16 +67,24 @@ def main():
         return outputs["refined_depth"], outputs["stage3"]["photometric_confidence"]
 
     args = (params, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
-    for _ in range(WARMUP):
-        jax.block_until_ready(forward(*args))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
+    def run_once():
         out = forward(*args)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        # block_until_ready is not a reliable barrier under the remote-TPU
+        # relay; a host transfer is. Pull one scalar to force full execution.
+        float(out[0][0, 0, 0])
 
-    maps_per_sec = ITERS / dt
+    for _ in range(WARMUP):
+        run_once()
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    maps_per_sec = 1.0 / dt
     print(
         json.dumps(
             {

@@ -25,11 +25,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=0.01)
     p.add_argument("--no_refinement", action="store_true")
     p.add_argument("--batch_size", type=int, default=1)
-    p.add_argument("--filter_method", default="normal", choices=["normal", "none"])
+    p.add_argument("--filter_method", default="normal", choices=["normal", "gipuma", "none"])
     p.add_argument("--conf", default="0.0,0.0,0.0", help="per-stage confidence thresholds")
     p.add_argument("--thres_view", type=int, default=3)
     p.add_argument("--thres_disp", type=float, default=1.0)
     p.add_argument("--num_src_fusion", type=int, default=10)
+    # gipuma-path (native C++ fusion) knobs, reference defaults
+    p.add_argument("--prob_threshold", default="0.0,0.0,0.0")
+    p.add_argument("--disp_threshold", type=float, default=0.2)
+    p.add_argument("--num_consistent", type=int, default=3)
     p.add_argument("--skip_inference", action="store_true", help="fuse existing depth maps only")
     return p
 
@@ -72,7 +76,20 @@ def main(argv=None):
         )
         print(json.dumps({"inference": stats}))
 
-    if args.filter_method == "normal":
+    if args.filter_method == "gipuma":
+        from ..fusion.pipeline import fuse_scan_native
+
+        thresholds = tuple(float(x) for x in args.prob_threshold.split(","))
+        for scan in scans:
+            n = fuse_scan_native(
+                os.path.join(args.outdir, scan),
+                os.path.join(args.outdir, f"{scan}.ply"),
+                conf_thresholds=thresholds,
+                disp_thresh=args.disp_threshold,
+                num_consistent=args.num_consistent,
+            )
+            print(f"{scan}: {n} fused points (native)")
+    elif args.filter_method == "normal":
         fcfg = FusionConfig(
             n_src_views=args.num_src_fusion,
             conf_thresholds=tuple(float(x) for x in args.conf.split(",")),

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 from functools import partial
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -28,7 +29,7 @@ from .ops import (
     visibility_filter,
 )
 
-__all__ = ["FusionConfig", "fuse_scan", "fuse_view"]
+__all__ = ["FusionConfig", "fuse_scan", "fuse_view", "fuse_scan_native"]
 
 
 @dataclass(frozen=True)
@@ -131,5 +132,41 @@ def fuse_scan(
 
     pts = np.concatenate(all_pts, axis=0) if all_pts else np.zeros((0, 3), np.float32)
     cols = np.concatenate(all_cols, axis=0) if all_cols else np.zeros((0, 3), np.uint8)
+    write_ply(ply_path, pts, cols)
+    return len(pts)
+
+
+def fuse_scan_native(
+    scan_folder: str,
+    ply_path: str,
+    conf_thresholds=(0.0, 0.0, 0.0),
+    disp_thresh: float = 0.2,
+    num_consistent: int = 3,
+    view_ids: list[int] | None = None,
+) -> int:
+    """Fuse a scan with the native C++ fusibile-equivalent (duplicate-
+    suppressing) fusion — the path behind the reference's published DTU
+    numbers (scripts/dtu_eval.sh uses the gipuma filter)."""
+    from ..data.image import load_image
+    from .native import fuse_depth_maps_native
+
+    if view_ids is None:
+        view_ids = sorted(
+            int(p.stem) for p in (Path(scan_folder) / "depth_est").glob("*.pfm")
+        )
+    depths, cams, colors = [], [], []
+    for vid in view_ids:
+        d, conf, cam = _load_view(scan_folder, vid)
+        keep = np.ones(d.shape, bool)
+        for s, t in enumerate(conf_thresholds):
+            keep &= conf[..., s] > t
+        depths.append(np.where(keep, d, 0.0).astype(np.float32))
+        cams.append(cam)
+        img = load_image(os.path.join(scan_folder, f"images/{vid:0>8}.jpg"))
+        colors.append((img * 255).astype(np.uint8))
+    pts, cols = fuse_depth_maps_native(
+        np.stack(depths), np.stack(cams), np.stack(colors),
+        disp_thresh=disp_thresh, num_consistent=num_consistent,
+    )
     write_ply(ply_path, pts, cols)
     return len(pts)

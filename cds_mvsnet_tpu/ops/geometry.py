@@ -14,7 +14,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .grid_sample import grid_sample_pixel
+from .grid_sample import grid_sample_pixel, pack_2x2, sample_packed_2x2
 
 __all__ = [
     "skew_matrix",
@@ -193,15 +193,19 @@ def homography_warp(
     D = depth_values.shape[1]
     px, py = plane_sweep_coords(ref_cam, src_cam, depth_values, H, W)
 
+    packed = pack_2x2(src_feat)
     if depth_chunk is None or depth_chunk >= D:
-        warped = grid_sample_pixel(src_feat, px.reshape(B, -1), py.reshape(B, -1))
+        warped = sample_packed_2x2(
+            packed, src_feat.shape, px.reshape(B, -1), py.reshape(B, -1)
+        )
         return warped.reshape(B, D, H, W, C)
 
     chunks = []
     for d0 in range(0, D, depth_chunk):
         d1 = min(d0 + depth_chunk, D)
-        w = grid_sample_pixel(
-            src_feat,
+        w = sample_packed_2x2(
+            packed,
+            src_feat.shape,
             px[:, d0:d1].reshape(B, -1),
             py[:, d0:d1].reshape(B, -1),
         )

@@ -38,6 +38,26 @@ def test_pixel_coords_identity():
     np.testing.assert_allclose(np.asarray(out), src, atol=1e-6)
 
 
+def test_packed_matches_plain():
+    """The single-gather 2x2-packed sampler must agree with the 4-gather one
+    everywhere, including boundary and far out-of-range coordinates."""
+    from cds_mvsnet_tpu.ops.grid_sample import grid_sample_pixel_packed
+
+    rng = np.random.default_rng(7)
+    B, H, W, C = 2, 9, 13, 5
+    src = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-3, W + 3, (B, 400)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-3, H + 3, (B, 400)).astype(np.float32))
+    # exact integer coordinates on every edge case
+    edges = np.array([-1.0, -0.5, 0.0, 1.0, W - 2, W - 1.5, W - 1, float(W)], np.float32)
+    x = x.at[:, : len(edges)].set(jnp.asarray(edges))
+    y = y.at[:, : len(edges)].set(jnp.asarray([-1.0, 0.0, H - 1, float(H), 0.5, H - 1.5, -0.5, 2.0]))
+
+    want = grid_sample_pixel(src, x, y)
+    got = grid_sample_pixel_packed(src, x, y)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
 def test_gradients_flow():
     import jax
 
