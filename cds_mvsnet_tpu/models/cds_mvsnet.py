@@ -81,6 +81,7 @@ def apply_cds_mvsnet(
     axis_name: str | None = None,
     compute_dtype=jnp.float32,
     feature_chunk: int | None = None,
+    folded_features: bool = False,
 ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
     """Run the cascade.
 
@@ -131,6 +132,10 @@ def apply_cds_mvsnet(
     stacked = stacked.astype(compute_dtype)
 
     def run_features(xs, es):
+        if folded_features and not train:
+            from .feature_net_folded import feature_net_folded
+
+            return feature_net_folded(params["feature"], xs, es, temperature)
         return feature_net(
             params["feature"], xs, es, temperature,
             train=train, collector=collector, path="feature", axis_name=axis_name,
