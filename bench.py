@@ -62,7 +62,7 @@ def main():
     def forward(params, imgs, proj, depth_values):
         outputs, _ = apply_cds_mvsnet(
             params, cfg, imgs, proj, depth_values, temperature=0.01, train=False,
-            compute_dtype=compute_dtype, feature_chunk=2,
+            compute_dtype=compute_dtype, feature_impl="s2d",
         )
         return outputs["refined_depth"], outputs["stage3"]["photometric_confidence"]
 

@@ -81,7 +81,7 @@ def apply_cds_mvsnet(
     axis_name: str | None = None,
     compute_dtype=jnp.float32,
     feature_chunk: int | None = None,
-    folded_features: bool = False,
+    feature_impl: str = "plain",  # "plain" | "folded" | "s2d" (eval-only variants)
 ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
     """Run the cascade.
 
@@ -132,7 +132,11 @@ def apply_cds_mvsnet(
     stacked = stacked.astype(compute_dtype)
 
     def run_features(xs, es):
-        if folded_features and not train:
+        if feature_impl == "s2d" and not train:
+            from .feature_net_s2d import feature_net_s2d
+
+            return feature_net_s2d(params["feature"], xs, es, temperature)
+        if feature_impl == "folded" and not train:
             from .feature_net_folded import feature_net_folded
 
             return feature_net_folded(params["feature"], xs, es, temperature)
@@ -212,6 +216,7 @@ def apply_cds_mvsnet(
             depth_samples,
             stage_idx,
             train=train,
+            vis_s2d=(feature_impl == "s2d" and h_s % 4 == 0 and w_s % 4 == 0),
             collector=collector,
             cost_reg_path=cost_reg_path,
             axis_name=axis_name,

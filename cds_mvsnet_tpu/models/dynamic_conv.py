@@ -89,7 +89,9 @@ def dynamic_conv(
     w = jax.nn.softmax(w.astype(jnp.float32) / temperature, axis=-1).astype(x.dtype)
 
     out = sum(results[i] * w[..., i : i + 1] for i in range(len(size_kernels)))
-    norm_curv = jnp.sum(curvs * w, axis=-1, keepdims=True)
+    # norm_curv is carried channel-less (B,H,W): a trailing singleton channel
+    # would be lane-padded to 128 on TPU (128x HBM waste on full-res maps)
+    norm_curv = jnp.sum(curvs * w, axis=-1)
     return out, norm_curv
 
 

@@ -80,9 +80,9 @@ def _dynamic_conv_folded(p: Params, x, quad, temperature, size_kernels, n, bias_
     w = jax.nn.softmax(w.astype(jnp.float32) / temperature, axis=-1).astype(x.dtype)
 
     out = sum(results[i] * w[..., i : i + 1] for i in range(len(size_kernels)))
-    norm_curv = jnp.sum(curvs * w, axis=-1, keepdims=True)  # (H, W, N, 1)
+    norm_curv = jnp.sum(curvs * w, axis=-1)  # (H, W, N)
     out = out.reshape(1, H, W, -1)
-    return out, jnp.moveaxis(norm_curv, 2, 0)  # (N, H, W, 1)
+    return out, jnp.moveaxis(norm_curv, 2, 0)  # (N, H, W)
 
 
 def _fold(x):  # (N,H,W,C) -> (1,H,W,N*C)

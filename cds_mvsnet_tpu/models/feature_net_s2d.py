@@ -1,0 +1,151 @@
+"""Space-to-depth FeatureNet: the TPU-shaped dynamic-scale feature extractor.
+
+Same math as :mod:`feature_net`, computed on space-to-depth activations
+(block sizes 8/4/2 at full/half/quarter resolution, so channel counts are
+b²·C = 128…512 instead of 3…48). Every conv runs via :func:`s2d_conv` (exact
+weight rescatter), InstanceNorm reduces over phases+space (exact), the
+curvature attention acts per (pixel-phase, kernel-size) (exact), and the FPN
+2x upsamples become constant channel permutations on a fixed grid.
+
+Eval-only, like the folded variant. Requires H, W divisible by 8.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.s2d import (
+    depth_to_space,
+    s2d_conv,
+    s2d_instance_norm,
+    s2d_upsample2x_nearest,
+    space_to_depth,
+)
+from .dynamic_conv import epipolar_direction_quadratic
+from .feature_net import _DYN_KERNELS, BASE_CHANNELS
+from .layers import Params, batch_norm, default_precision, leaky_relu
+
+__all__ = ["feature_net_s2d"]
+
+
+def _d2s_map(x, b):
+    """(N, H', W', b²) channel-less phase map -> (N, H'·b, W'·b)."""
+    N, Hp, Wp, _ = x.shape
+    x = x.reshape(N, Hp, Wp, b, b)
+    return jnp.transpose(x, (0, 1, 3, 2, 4)).reshape(N, Hp * b, Wp * b)
+
+
+def _dyn_s2d(p: Params, x, quad, temperature, size_kernels, b):
+    """s2d DynamicConv. ``x (N,H',W',b²·I)``, ``quad (N,H',W',b²·3)`` ->
+    (out ``(N,H',W',b²·O)``, norm_curv ``(N,H',W',b²)``)."""
+    N, Hp, Wp, _ = x.shape
+    bb = b * b
+    quad_r = quad.reshape(N, Hp, Wp, bb, 3)
+
+    curvs = []
+    results = []
+    for i, k in enumerate(size_kernels):
+        conv_p = p["convs"][str(i)]
+        att_w = p["att_convs"][str(i)]["weight"]
+        out_c = conv_p["weight"].shape[-1]
+        fused_w = jnp.concatenate([conv_p["weight"], att_w], axis=-1)  # (k,k,I,O+3)
+        y = s2d_conv(x, fused_w, b_in=b, padding=(k - 1) // 2)
+        y = y.reshape(N, Hp, Wp, bb, out_c + 3)
+        res, coef = y[..., :out_c], y[..., out_c:]
+        if conv_p.get("bias") is not None:
+            res = res + conv_p["bias"].astype(res.dtype)
+        curvs.append(jnp.sum(coef * quad_r.astype(coef.dtype), axis=-1))  # (N,H',W',bb)
+        results.append(res)
+
+    curvs = jnp.stack(curvs, axis=-1)  # (N, H', W', bb, K)
+    w0 = p["att_weights"]["0"]["weight"][0, 0]  # (K, hidden)
+    w = jnp.einsum("...k,kd->...d", curvs, w0.astype(curvs.dtype),
+                   precision=default_precision())
+    w = batch_norm(w, p["att_weights"]["1"], train=False)
+    w = jax.nn.relu(w)
+    w3 = p["att_weights"]["3"]["weight"][0, 0]  # (hidden, K)
+    w = jnp.einsum("...d,dk->...k", w, w3.astype(w.dtype), precision=default_precision())
+    w = jax.nn.softmax(w.astype(jnp.float32) / temperature, axis=-1).astype(x.dtype)
+
+    out = sum(results[i] * w[..., i : i + 1] for i in range(len(size_kernels)))
+    norm_curv = jnp.sum(curvs * w, axis=-1)  # (N, H', W', bb)
+    return out.reshape(N, Hp, Wp, -1), norm_curv
+
+
+def _cat_s2d(a, b_arr, bb):
+    """Per-phase channel concat: both (N,H',W',bb·C*)."""
+    N, Hp, Wp, NA = a.shape
+    NB = b_arr.shape[-1]
+    ar = a.reshape(N, Hp, Wp, bb, NA // bb)
+    br = b_arr.reshape(N, Hp, Wp, bb, NB // bb)
+    return jnp.concatenate([ar, br], axis=-1).reshape(N, Hp, Wp, -1)
+
+
+def feature_net_s2d(p: Params, x: jnp.ndarray, epipole: jnp.ndarray, temperature):
+    """``x (N,H,W,3)``, ``epipole (N,2)`` -> per-stage (feat (N,h,w,C),
+    nc_sum (N,h,w), |nc| (N,h,w)); equals :func:`feature_net` at eval."""
+    N, H, W, _ = x.shape
+    base = BASE_CHANNELS
+    B0, B1, B2 = 8, 4, 2  # block sizes at full / half / quarter resolution
+
+    quad0 = space_to_depth(epipolar_direction_quadratic(epipole, H, W, x.dtype), B0)
+    quad1 = space_to_depth(
+        epipolar_direction_quadratic(epipole / 2, H // 2, W // 2, x.dtype), B1
+    )
+    quad2 = space_to_depth(
+        epipolar_direction_quadratic(epipole / 4, H // 4, W // 4, x.dtype), B2
+    )
+
+    def dyn_wrapped(name, xf, quad, b, C):
+        y, nc = _dyn_s2d(p[name]["conv"], xf, quad, temperature, _DYN_KERNELS[name], b)
+        return leaky_relu(s2d_instance_norm(y, b, C)), nc
+
+    xs = space_to_depth(x, B0)
+    conv00, nc00 = dyn_wrapped("conv00", xs, quad0, B0, base)
+    conv01, nc01 = dyn_wrapped("conv01", conv00, quad0, B0, base)
+    down0 = leaky_relu(s2d_instance_norm(
+        s2d_conv(conv01, p["downsample1"]["conv"]["weight"], b_in=B0, stride=2, padding=1),
+        B1, 2 * base))
+    conv10, nc10 = dyn_wrapped("conv10", down0, quad1, B1, 2 * base)
+    conv11, nc11 = dyn_wrapped("conv11", conv10, quad1, B1, 2 * base)
+    down1 = leaky_relu(s2d_instance_norm(
+        s2d_conv(conv11, p["downsample2"]["conv"]["weight"], b_in=B1, stride=2, padding=1),
+        B2, 4 * base))
+    conv20, nc20 = dyn_wrapped("conv20", down1, quad2, B2, 4 * base)
+    conv21, nc21 = dyn_wrapped("conv21", conv20, quad2, B2, 4 * base)
+
+    outputs = {}
+    intra = conv21
+    out, nc22 = _dyn_s2d(p["out1"], intra, quad2, temperature, _DYN_KERNELS["out1"], B2)
+    out = jnp.tanh(s2d_instance_norm(out, B2, 4 * base))
+    outputs["stage1"] = (
+        depth_to_space(out, B2),
+        _d2s_map((nc20**2 + nc21**2 + nc22**2) / 3, B2),
+        _d2s_map(jnp.abs(nc22), B2),
+    )
+
+    up = s2d_upsample2x_nearest(intra, B2, 4 * base)  # -> s2d(B1) on half grid
+    intra = _cat_s2d(up, conv11, B1 * B1)
+    intra = leaky_relu(s2d_instance_norm(
+        s2d_conv(intra, p["inner1"]["conv"]["weight"], b_in=B1, padding=0), B1, 2 * base))
+    out, nc12 = _dyn_s2d(p["out2"], intra, quad1, temperature, _DYN_KERNELS["out2"], B1)
+    out = jnp.tanh(s2d_instance_norm(out, B1, 2 * base))
+    outputs["stage2"] = (
+        depth_to_space(out, B1),
+        _d2s_map((nc10**2 + nc11**2 + nc12**2) / 3, B1),
+        _d2s_map(jnp.abs(nc12), B1),
+    )
+
+    up = s2d_upsample2x_nearest(out, B1, 2 * base)  # -> s2d(B0) on full grid
+    intra = _cat_s2d(up, conv01, B0 * B0)
+    intra = leaky_relu(s2d_instance_norm(
+        s2d_conv(intra, p["inner2"]["conv"]["weight"], b_in=B0, padding=0), B0, base))
+    out, nc02 = _dyn_s2d(p["out3"], intra, quad0, temperature, _DYN_KERNELS["out3"], B0)
+    out = jnp.tanh(s2d_instance_norm(out, B0, base))
+    outputs["stage3"] = (
+        depth_to_space(out, B0),
+        _d2s_map((nc00**2 + nc01**2 + nc02**2) / 3, B0),
+        _d2s_map(jnp.abs(nc02), B0),
+    )
+    return outputs

@@ -30,6 +30,33 @@ def _vis_head(p, x, train, collector, path, axis_name):
     return jax.nn.sigmoid(y)
 
 
+def _bn_eval_s2d(x, p, bb):
+    """Eval BatchNorm on an s2d tensor (..., bb·C): running stats broadcast
+    per true channel across phases."""
+    shape = x.shape
+    xr = x.reshape(*shape[:-1], bb, shape[-1] // bb)
+    from .layers import batch_norm
+
+    return batch_norm(xr, p, train=False).reshape(shape)
+
+
+def _vis_head_s2d(p, entropy, ref_nc, b=4):
+    """s2d formulation of the visibility head (eval): identical math with
+    b²-folded channels, returns ``(B, h, w)`` channel-less."""
+    from ..ops.s2d import s2d_conv, space_to_depth
+    from .feature_net_s2d import _d2s_map
+
+    x = jnp.stack([entropy, ref_nc], axis=-1)  # (B, h, w, 2)
+    y = space_to_depth(x, b)
+    bb = b * b
+    for i in range(3):
+        blk = p[str(i)]
+        y = s2d_conv(y, blk["conv"]["weight"], b_in=b)
+        y = jax.nn.relu(_bn_eval_s2d(y, blk["bn"], bb))
+    y = s2d_conv(y, p["3"]["weight"], b_in=b) + p["3"]["bias"].astype(y.dtype)
+    return _d2s_map(jax.nn.sigmoid(y), b)
+
+
 def stage_net(
     vis_params: Params,
     cost_reg_params: Params,
@@ -38,6 +65,7 @@ def stage_net(
     depth_values: jnp.ndarray,
     stage_idx: int,
     train: bool = False,
+    vis_s2d: bool = False,
     collector: StatsCollector | None = None,
     path: str = "stage_net",
     cost_reg_path: str = "cost_regularization",
@@ -89,25 +117,30 @@ def stage_net(
             "bhwc,bdhwc->bdhw", ref_feat, warped,
             precision=default_precision(), preferred_element_type=jnp.float32,
         )
-        entropy = softmax_entropy(sim, axis=1)[:, 0][..., None]  # (B, h, w, 1)
-        vis = _vis_head(
-            vis_params[str(stage_idx)],
-            jnp.concatenate([entropy.astype(ref_nc.dtype), ref_nc], axis=-1),
-            train, collector, f"{path}.vis.{stage_idx}", axis_name,
-        )  # (B, h, w, 1)
+        entropy = softmax_entropy(sim, axis=1)[:, 0]  # (B, h, w)
+        if vis_s2d and not train:
+            vis = _vis_head_s2d(
+                vis_params[str(stage_idx)], entropy.astype(ref_nc.dtype), ref_nc
+            )  # (B, h, w)
+        else:
+            vis = _vis_head(
+                vis_params[str(stage_idx)],
+                jnp.stack([entropy.astype(ref_nc.dtype), ref_nc], axis=-1),
+                train, collector, f"{path}.vis.{stage_idx}", axis_name,
+            )[..., 0]  # (B, h, w)
 
         # ref⊙warped⊙vis fuses elementwise into the accumulator
-        volume_sum = volume_sum + ref_feat[:, None] * warped * vis[:, None]
+        volume_sum = volume_sum + ref_feat[:, None] * warped * vis[:, None, :, :, None]
         vis_sum = vis_sum + vis
         nc_sum = nc_sum + (ref_nc_sum + src_nc_sum) / 2
         if train:
-            feat_distance_vol = feat_distance_vol + sim * vis[..., 0][:, None]
+            feat_distance_vol = feat_distance_vol + sim * vis[:, None]
         if gt_depth is not None:
             gt_warped = homography_warp(src_feat, ref_cam, src_cam, gt_depth[:, None])
             gt_sim = jnp.sum(ref_feat[:, None] * gt_warped, axis=-1)  # (B, 1, h, w)
-            gt_feat_distance = gt_feat_distance + gt_sim * vis[..., 0][:, None]
+            gt_feat_distance = gt_feat_distance + gt_sim * vis[:, None]
 
-    volume_mean = volume_sum / (vis_sum[:, None] + 1e-6)  # (B,D,h,w,C)
+    volume_mean = volume_sum / (vis_sum[:, None, :, :, None] + 1e-6)  # (B,D,h,w,C)
     nc_mean = nc_sum / (V - 1)
 
     cost = cost_reg_net(
@@ -119,9 +152,9 @@ def stage_net(
 
     out = {"depth": depth, "photometric_confidence": conf, "norm_curv": nc_mean}
     if train:
-        feat_distance_vol = feat_distance_vol / (vis_sum[..., 0][:, None] + 1e-6)
+        feat_distance_vol = feat_distance_vol / (vis_sum[:, None] + 1e-6)
         if gt_depth is not None:
-            gt_feat_distance = gt_feat_distance / (vis_sum[..., 0][:, None] + 1e-6)
+            gt_feat_distance = gt_feat_distance / (vis_sum[:, None] + 1e-6)
             feat_distance_vol = jnp.concatenate([feat_distance_vol, gt_feat_distance], axis=1)
         out["feat_distance"] = feat_distance_vol
     return out

@@ -51,7 +51,7 @@ def final_loss(
         mask = mask_ms[stage_key] > 0.5  # (B, h, w)
         err = (stage["depth"] - depth_gt_ms[stage_key]) / di
         depth_loss = masked_mean(smooth_l1(err), mask)
-        norm_curv_reg = masked_mean(stage["norm_curv"][..., 0], mask)
+        norm_curv_reg = masked_mean(stage["norm_curv"], mask)
 
         feat_loss = 0.0
         if "feat_distance" in stage:

@@ -56,7 +56,7 @@ def test_loss_matches_reference_formula():
         d_est = t(outputs[sk]["depth"]) / di_t
         d_gt = t(batch["depth"][sk]) / di_t
         dl = torch.nn.functional.smooth_l1_loss(d_est[mask], d_gt[mask])
-        ncr = t(outputs[sk]["norm_curv"])[..., 0][mask].mean()
+        ncr = t(outputs[sk]["norm_curv"])[mask].mean()
         fd = t(outputs[sk]["feat_distance"])
         tg = t(outputs[sk]["feat_target"])
         m = mask.unsqueeze(1).expand_as(tg)
