@@ -216,7 +216,7 @@ def apply_cds_mvsnet(
             depth_samples,
             stage_idx,
             train=train,
-            vis_s2d=(feature_impl == "s2d" and h_s % 4 == 0 and w_s % 4 == 0),
+            s2d_eval=(feature_impl == "s2d" and h_s % 32 == 0 and w_s % 32 == 0),
             collector=collector,
             cost_reg_path=cost_reg_path,
             axis_name=axis_name,

@@ -68,6 +68,85 @@ def cost_reg_net(
     return y
 
 
+def cost_reg_net_s2d(
+    p: Params,
+    x: jnp.ndarray,
+    b: int = 4,
+    last_layer: bool = True,
+) -> jnp.ndarray:
+    """Eval CostRegNet on an (h,w)-space-to-depth volume representation.
+
+    The UNet's finest levels have 8-32 channels, so the plain NDHWC form pays
+    the 128-lane padding tax on its largest buffers. Running on s2d(b)
+    volumes keeps channels at b²·C >= 128 with exact numerics (ops/s2d.py).
+
+    Args:
+      x: plain volume ``(B, D, h, w, C)``; converted internally.
+    Returns:
+      ``(B, D, h, w, 1)``.
+    """
+    from ..ops.s2d import depth_to_space, s2d_conv3d, s2d_deconv3d_2x, space_to_depth
+
+    B, D, h, w, C = x.shape
+
+    def to_s2d(v, blk):
+        Bv, Dv, hv, wv, Cv = v.shape
+        return space_to_depth(v.reshape(Bv * Dv, hv, wv, Cv), blk).reshape(
+            Bv, Dv, hv // blk, wv // blk, -1
+        )
+
+    def bn_relu(v, bp, bb):
+        shape = v.shape
+        vr = v.reshape(*shape[:-1], bb, shape[-1] // bb)
+        vr = batch_norm(vr, bp, train=False)
+        return jax.nn.relu(vr).reshape(shape)
+
+    def from_s2d(v, blk):
+        Bv, Dv, hv, wv, Cv = v.shape
+        return depth_to_space(v.reshape(Bv * Dv, hv, wv, Cv), blk).reshape(
+            Bv, Dv, hv * blk, wv * blk, -1
+        )
+
+    def c(name, v, blk, stride=1):
+        """Conv3d+BN+ReLU at block size blk; stride-2 halves the block (same
+        grid) until blk==1, after which plain convs shrink the grid."""
+        if blk > 1:
+            y = s2d_conv3d(v, p[name]["conv"]["weight"], b_in=blk, stride=stride, padding=1)
+            blk_out = blk // stride
+            return bn_relu(y, p[name]["bn"], blk_out * blk_out), blk_out
+        y = conv3d(v, p[name]["conv"], stride=stride, padding=1)
+        y = jax.nn.relu(batch_norm(y, p[name]["bn"], train=False))
+        return y, 1
+
+    def d(name, v, blk, blk_out):
+        if blk_out > 1:
+            y = s2d_deconv3d_2x(v, p[name]["conv"]["weight"], b_in=blk)
+            return bn_relu(y, p[name]["bn"], blk_out * blk_out)
+        y = deconv3d(v, p[name]["conv"])
+        return jax.nn.relu(batch_norm(y, p[name]["bn"], train=False))
+
+    del from_s2d  # (block-1 tensors ARE plain; no conversion needed)
+    xs = to_s2d(x, b)
+    conv0, b0 = c("conv0", xs, b)
+    y, b1 = c("conv1", conv0, b0, 2)
+    conv2, _ = c("conv2", y, b1)
+    y, b2 = c("conv3", conv2, b1, 2)
+    conv4, _ = c("conv4", y, b2)
+    y, b3 = c("conv5", conv4, b2, 2)
+    y, _ = c("conv6", y, b3)
+    y = conv4 + d("conv7", y, b3, b2)
+    y = conv2 + d("conv9", y, b2, b1)
+    y = conv0 + d("conv11", y, b1, b0)
+    if last_layer:
+        if b0 > 1:
+            y = s2d_conv3d(y, p["prob"]["weight"], b_in=b0, padding=1)
+        else:
+            y = conv3d(y, p["prob"], padding=1)
+    Bp, Dp, hp, wp, _ = y.shape
+    out = depth_to_space(y.reshape(Bp * Dp, hp, wp, -1), b0)
+    return out.reshape(B, D, h, w, -1)
+
+
 def init_cost_reg_net(key, in_channels: int, base_channels: int = 8) -> Params:
     b = base_channels
     keys = jax.random.split(key, 11)

@@ -65,7 +65,7 @@ def stage_net(
     depth_values: jnp.ndarray,
     stage_idx: int,
     train: bool = False,
-    vis_s2d: bool = False,
+    s2d_eval: bool = False,
     collector: StatsCollector | None = None,
     path: str = "stage_net",
     cost_reg_path: str = "cost_regularization",
@@ -118,7 +118,7 @@ def stage_net(
             precision=default_precision(), preferred_element_type=jnp.float32,
         )
         entropy = softmax_entropy(sim, axis=1)[:, 0]  # (B, h, w)
-        if vis_s2d and not train:
+        if s2d_eval and not train:
             vis = _vis_head_s2d(
                 vis_params[str(stage_idx)], entropy.astype(ref_nc.dtype), ref_nc
             )  # (B, h, w)
@@ -143,9 +143,14 @@ def stage_net(
     volume_mean = volume_sum / (vis_sum[:, None, :, :, None] + 1e-6)  # (B,D,h,w,C)
     nc_mean = nc_sum / (V - 1)
 
-    cost = cost_reg_net(
-        cost_reg_params, volume_mean, train, collector, cost_reg_path, axis_name
-    )[..., 0]  # (B, D, h, w)
+    if s2d_eval and not train:
+        from .cost_reg import cost_reg_net_s2d
+
+        cost = cost_reg_net_s2d(cost_reg_params, volume_mean, b=4)[..., 0]
+    else:
+        cost = cost_reg_net(
+            cost_reg_params, volume_mean, train, collector, cost_reg_path, axis_name
+        )[..., 0]  # (B, D, h, w)
     prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
     depth = depth_regression(prob, depth_values.astype(jnp.float32))
     conf = confidence_regression(prob)

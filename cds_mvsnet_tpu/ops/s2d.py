@@ -31,6 +31,8 @@ __all__ = [
     "space_to_depth",
     "depth_to_space",
     "s2d_conv",
+    "s2d_conv3d",
+    "s2d_deconv3d_2x",
     "s2d_upsample2x_nearest",
     "s2d_instance_norm",
 ]
@@ -127,6 +129,115 @@ def s2d_conv(
         window_strides=(1, 1),
         padding=pad_s2d,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision or default_precision(),
+    )
+
+
+def s2d_conv3d(
+    x_s2d: jnp.ndarray,
+    w: jnp.ndarray,
+    b_in: int,
+    stride: int = 1,
+    padding: int = 1,
+    precision=None,
+) -> jnp.ndarray:
+    """3D conv on a volume whose (h, w) dims are s2d: ``x (B, D, H', W',
+    b_in²·I)``, plain weights ``(kd, kh, kw, I, O)``. The D axis is handled
+    natively (stride/pad apply to it too); the spatial axes via the exact s2d
+    weight rescatter. Output block = b_in // stride."""
+    from ..models.layers import default_precision
+
+    kd, kh, kw = w.shape[0], w.shape[1], w.shape[2]
+    b_out = b_in // stride
+    planes = []
+    for dz in range(kd):
+        wp, pad_s2d = _s2d_weights(
+            w[dz].astype(x_s2d.dtype), b_in, b_out, stride, (kh - 1) // 2, (kw - 1) // 2
+        )
+        planes.append(wp)
+    w3 = jnp.stack(planes, axis=0)  # (kd, kh', kw', b_in² I, b_out² O)
+    return jax.lax.conv_general_dilated(
+        x_s2d, w3,
+        window_strides=(stride, 1, 1),
+        padding=[(padding, padding), pad_s2d[0], pad_s2d[1]],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=precision or default_precision(),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _deconv2x_tap_map(k: int, pad: int, b_in: int):
+    """Per-dim map for a stride-2 transposed conv in s2d space with the SAME
+    grid and b_out = 2·b_in. Weights are assumed stored pre-flipped (as by
+    the converter, for direct-conv equivalence): w_flip[j] = W_t[k-1-j].
+
+    out[y_o] = sum over (y_i, j): 2 y_i + (k-1-j) - pad = y_o of x[y_i]·w_flip[j].
+    """
+    b_out = 2 * b_in
+    # m = y_i offset relative to block start; tap ky' = floor(m / b_in)
+    entries = {}
+    klo, khi = 0, 0
+    for oy in range(b_out):
+        for j in range(k):
+            t = oy + pad - (k - 1 - j)
+            if t % 2 != 0:
+                continue
+            m = t // 2
+            ky = m // b_in
+            klo = min(klo, ky)
+            khi = max(khi, ky)
+            entries[(oy, j)] = (ky, m - ky * b_in)
+    kp = khi - klo + 1
+    idx = np.full((kp, b_out, b_in), k, dtype=np.int64)  # k = zero tap
+    for (oy, j), (ky, by) in entries.items():
+        idx[ky - klo, oy, by] = j
+    return kp, klo, idx
+
+
+def s2d_deconv3d_2x(
+    x_s2d: jnp.ndarray,
+    w: jnp.ndarray,
+    b_in: int,
+    precision=None,
+) -> jnp.ndarray:
+    """Transposed 3D conv (k=3, stride=2, pad=1, output_padding=1 — exact 2x
+    upsampling) on an (h,w)-s2d volume. ``w (3,3,3,I,O)`` stored pre-flipped
+    in ALL spatial dims (converter layout). D is upsampled via lhs_dilation;
+    (h, w) stay on the SAME grid with b_out = 2·b_in.
+
+    Output: ``(B, 2D, H', W', (2·b_in)²·O)``.
+    """
+    from ..models.layers import default_precision
+
+    k = w.shape[0]
+    b_out = 2 * b_in
+    kp_h, klo_h, hy = _deconv2x_tap_map(k, 1, b_in)
+    kp_w, klo_w, hx = _deconv2x_tap_map(k, 1, b_in)
+    I, O = w.shape[3], w.shape[4]
+
+    planes = []
+    for dz in range(k):
+        wz = jnp.pad(w[dz].astype(x_s2d.dtype), ((0, 1), (0, 1), (0, 0), (0, 0)))
+        dy = jnp.asarray(hy)
+        dx = jnp.asarray(hx)
+        wp = wz[
+            dy[:, None, :, None, :, None],
+            dx[None, :, None, :, None, :],
+        ]  # (kp, kp, oy(2b), ox(2b), by, bx, I, O)
+        wp = jnp.transpose(wp, (0, 1, 4, 5, 6, 2, 3, 7)).reshape(
+            kp_h, kp_w, b_in * b_in * I, b_out * b_out * O
+        )
+        planes.append(wp)
+    w3 = jnp.stack(planes, axis=0)
+
+    # D axis: transposed k3/s2/p1/op1 == direct conv on 2x-dilated input with
+    # pre-flipped taps and padding (1, 2) (see models/layers._deconv)
+    return jax.lax.conv_general_dilated(
+        x_s2d, w3,
+        window_strides=(1, 1, 1),
+        padding=[(1, 2), (-klo_h, kp_h - 1 + klo_h), (-klo_w, kp_w - 1 + klo_w)],
+        lhs_dilation=(2, 1, 1),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         precision=precision or default_precision(),
     )
 

@@ -1,0 +1,74 @@
+"""End-to-end eval pipeline: synthetic scene -> depth maps on disk -> fused
+point cloud, exercising the test-CLI code path on CPU."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cds_mvsnet_tpu.config import ModelConfig
+from cds_mvsnet_tpu.eval.depth_inference import save_depths
+from cds_mvsnet_tpu.fusion.pipeline import FusionConfig, fuse_scan
+from cds_mvsnet_tpu.io.pfm import read_pfm
+from cds_mvsnet_tpu.io.ply import read_ply
+
+
+@pytest.fixture
+def scene(tmp_path):
+    rng = np.random.default_rng(0)
+    scan = tmp_path / "scan1"
+    (scan / "images").mkdir(parents=True)
+    n = 4
+    f = 300.0
+    for v in range(n):
+        img = (rng.uniform(0, 255, (240, 320, 3))).astype(np.uint8)
+        Image.fromarray(img).save(scan / "images" / f"{v:0>8}.jpg")
+        angle = 0.05 * (v - 1.5)
+        c, s = np.cos(angle), np.sin(angle)
+        (scan / "cams").mkdir(exist_ok=True)
+        (scan / "cams" / f"{v:0>8}_cam.txt").write_text(
+            "extrinsic\n"
+            + f"{c} 0 {s} {0.1 * v} \n0 1 0 0 \n{-s} 0 {c} {0.02 * v} \n0 0 0 1 \n"
+            + "\nintrinsic\n"
+            + f"{f} 0 160 \n0 {f} 120 \n0 0 1 \n"
+            + "\n10.0 0.1 64 16.4\n"
+        )
+    pair_lines = [str(n)]
+    for v in range(n):
+        srcs = [s2 for s2 in range(n) if s2 != v]
+        pair_lines.append(str(v))
+        pair_lines.append(f"{len(srcs)} " + " ".join(f"{s2} {2.0}" for s2 in srcs))
+    (scan / "pair.txt").write_text("\n".join(pair_lines) + "\n")
+    return tmp_path
+
+
+def test_save_depths_and_fuse(scene, tmp_path):
+    import jax
+
+    from cds_mvsnet_tpu.models.cds_mvsnet import init_cds_mvsnet
+
+    cfg = ModelConfig(refine=False)
+    params = init_cds_mvsnet(jax.random.PRNGKey(0), cfg)
+    params.pop("refine_network", None)
+    outdir = tmp_path / "out"
+
+    stats = save_depths(
+        params, cfg, datapath=str(scene), scans=["scan1"], outdir=str(outdir),
+        nviews=3, ndepths=64, interval_scale=1.0, max_h=128, max_w=192,
+        dataset="general", verbose=False, num_workers=1,
+    )
+    assert stats["n"] == 4
+    depth, _ = read_pfm(outdir / "scan1" / "depth_est" / "00000000.pfm")
+    assert depth.shape == (128, 192)
+    assert np.isfinite(depth).all() and (depth > 0).all()
+    conf, _ = read_pfm(outdir / "scan1" / "confidence" / "00000000.pfm")
+    assert conf.shape == (128, 192, 3)
+    assert (outdir / "scan1" / "cams" / "00000000_cam.txt").exists()
+    assert (outdir / "scan1" / "images" / "00000000.jpg").exists()
+
+    n = fuse_scan(
+        str(scene / "scan1"), str(outdir / "scan1"), str(outdir / "scan1.ply"),
+        FusionConfig(n_src_views=3, vthresh=2.0, img_dist_thresh=50.0, depth_thresh=0.5),
+    )
+    pts, cols = read_ply(outdir / "scan1.ply")
+    assert len(pts) == n
+    assert np.isfinite(pts).all()

@@ -1,0 +1,60 @@
+"""s2d 3D conv / transposed-conv exactness + full CostRegNet equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cds_mvsnet_tpu.models.layers import conv3d, deconv3d
+from cds_mvsnet_tpu.ops.s2d import (
+    depth_to_space,
+    s2d_conv3d,
+    s2d_deconv3d_2x,
+    space_to_depth,
+)
+
+
+def _s2d_vol(v, b):  # (B,D,H,W,C) -> (B,D,H/b,W/b,b²C)
+    B, D, H, W, C = v.shape
+    return space_to_depth(v.reshape(B * D, H, W, C), b).reshape(B, D, H // b, W // b, -1)
+
+
+def _d2s_vol(v, b):
+    B, D, Hp, Wp, BBC = v.shape
+    return depth_to_space(v.reshape(B * D, Hp, Wp, BBC), b).reshape(B, D, Hp * b, Wp * b, -1)
+
+
+@pytest.mark.parametrize("stride,b", [(1, 2), (1, 4), (2, 2), (2, 4)])
+def test_s2d_conv3d_matches_plain(stride, b):
+    rng = np.random.default_rng(b * 10 + stride)
+    B, D, H, W, I, O = 1, 8, 16, 24, 5, 6
+    x = jnp.asarray(rng.standard_normal((B, D, H, W, I)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, I, O)).astype(np.float32))
+    want = conv3d(x, {"weight": w}, stride=stride, padding=1)
+    got = s2d_conv3d(_s2d_vol(x, b), w, b_in=b, stride=stride, padding=1)
+    got = _d2s_vol(got, b // stride)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+def test_cost_reg_net_s2d_matches_plain():
+    from cds_mvsnet_tpu.models.cost_reg import cost_reg_net, cost_reg_net_s2d, init_cost_reg_net
+
+    rng = np.random.default_rng(9)
+    p = init_cost_reg_net(jax.random.PRNGKey(0), in_channels=32, base_channels=8)
+    x = jnp.asarray(rng.standard_normal((1, 8, 32, 48, 32)).astype(np.float32))
+    want = cost_reg_net(p, x, train=False)
+    got = cost_reg_net_s2d(p, x, b=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("b", [1, 2, 4])
+def test_s2d_deconv3d_matches_plain(b):
+    rng = np.random.default_rng(b)
+    B, D, H, W, I, O = 1, 4, 8, 12, 6, 5
+    x = jnp.asarray(rng.standard_normal((B, D, H, W, I)).astype(np.float32))
+    # converter layout: pre-flipped spatially, (k,k,k,I,O)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, I, O)).astype(np.float32))
+    want = deconv3d(x, {"weight": w})  # (B, 2D, 2H, 2W, O)
+    got = s2d_deconv3d_2x(_s2d_vol(x, b), w, b_in=b)
+    got = _d2s_vol(got, 2 * b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
