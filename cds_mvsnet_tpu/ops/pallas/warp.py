@@ -1,0 +1,182 @@
+"""Pallas plane-sweep warp kernel: banded-DMA bilinear gather.
+
+Why: XLA:TPU gathers are latency-bound (~40-60M rows/s), so the plane-sweep
+warp dominates inference (~19M gather rows per DTU view set). This kernel
+replaces the per-row gathers with:
+
+  1. source features pre-packed 2x2 into channels (one fetch = all four
+     bilinear corners; layout ``(H, 4C, W)`` so W sits in lanes),
+  2. per output tile (one depth plane x 8 ref rows x 128 ref columns), a
+     dynamically-placed DMA of the small source band the tile needs, and
+  3. Mosaic's within-128-lane hardware gather (``take_along_axis`` with
+     idx.shape == src.shape) plus per-row masks to resolve each lane's
+     (y0, x0) — the only gather form the TPU supports natively.
+
+Exactness: output accumulates over ALL (KY x 128)-aligned source windows
+intersecting the tile's base-coordinate bounding box, so arbitrary geometry
+(epipole crossings, strong perspective) stays correct — distant coordinates
+only cost extra window iterations. Numerics match grid_sample_pixel_packed
+(zeros padding, align_corners=True pixel semantics).
+
+Output layout is ``(C, D, H, W)`` — W-minor, so downstream elementwise /
+reduction work pays no channel padding.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["warp_pallas", "pack_src_for_warp"]
+
+KY = 16  # source band rows per window
+KX = 128  # source band lanes per window (= gather range)
+TR = 8  # output ref rows per tile
+
+
+def pack_src_for_warp(src: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) -> (H, 4C, W): 2x2-packed channels, W in lanes.
+
+    packed[y, (k·C+c), x] = src[y + k//2, x + k%2, c] (zeros past the edge).
+    """
+    right = jnp.pad(src[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    down = jnp.pad(src[1:], ((0, 1), (0, 0), (0, 0)))
+    diag = jnp.pad(src[1:, 1:], ((0, 1), (0, 1), (0, 0)))
+    packed = jnp.concatenate([src, right, down, diag], axis=-1)  # (H, W, 4C)
+    return jnp.transpose(packed, (0, 2, 1))  # (H, 4C, W)
+
+
+def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, C, ky, dtype):
+    """Grid step: one (depth plane, TR ref rows, 128 ref columns) tile."""
+    KY = ky
+    fourC = 4 * C
+    px = px_ref[0].astype(jnp.float32)  # (TR, 128)
+    py = py_ref[0].astype(jnp.float32)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    # packed-base clamp (see grid_sample.sample_packed_2x2)
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    dx = x0 - bx  # slot shifts; only -1/0/1 co-occur with valid corners
+    dy = y0 - by
+
+    def wmask(ox, oy, wgt):
+        xi = x0 + ox
+        yi = y0 + oy
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return wgt * ok.astype(jnp.float32)
+
+    w00 = wmask(0, 0, (1 - tx) * (1 - ty))
+    w01 = wmask(1, 0, tx * (1 - ty))
+    w10 = wmask(0, 1, (1 - tx) * ty)
+    w11 = wmask(1, 1, tx * ty)
+
+    # window grid over the tile's base bounding box
+    ywin_lo = jnp.min(by) // KY
+    ywin_hi = jnp.max(by) // KY
+    xwin_lo = jnp.min(bx) // KX
+    xwin_hi = jnp.max(bx) // KX
+    n_y = ywin_hi - ywin_lo + 1
+    n_x = xwin_hi - xwin_lo + 1
+
+    acc0 = jnp.zeros((TR * C, 128), jnp.float32)
+
+    def body(widx, accs):
+        acc00, acc01, acc10, acc11 = accs
+        ys = (ywin_lo + widx // n_x) * KY
+        xs = (xwin_lo + widx % n_x) * KX
+
+        copy = pltpu.make_async_copy(
+            src_hbm.at[pl.ds(ys, KY), :, pl.ds(xs, KX)], band, sem
+        )
+        copy.start()
+        copy.wait()
+
+        in_win = (by >= ys) & (by < ys + KY) & (bx >= xs) & (bx < xs + KX)  # (TR,128)
+        xl = jnp.clip(bx - xs, 0, KX - 1)
+        yl = by - ys
+
+        for orow in range(TR):
+            idx = jnp.broadcast_to(xl[orow].reshape(1, 128), (fourC, 128)).astype(jnp.int32)
+            sl = slice(orow * C, (orow + 1) * C)
+            for r in range(KY):
+                g = jnp.take_along_axis(band[r], idx, axis=1).astype(jnp.float32)
+                sel = (in_win[orow] & (yl[orow] == r)).astype(jnp.float32).reshape(1, 128)
+                acc00 = acc00.at[sl].add(sel * g[0 * C : 1 * C])
+                acc01 = acc01.at[sl].add(sel * g[1 * C : 2 * C])
+                acc10 = acc10.at[sl].add(sel * g[2 * C : 3 * C])
+                acc11 = acc11.at[sl].add(sel * g[3 * C : 4 * C])
+        return acc00, acc01, acc10, acc11
+
+    c00, c01, c10, c11 = jax.lax.fori_loop(
+        0, n_y * n_x, body, (acc0, acc0, acc0, acc0)
+    )
+
+    # reshape helpers: per-lane scalars broadcast over C sublanes
+    def per_row(t):  # (TR, 128) -> (TR*C, 128) repeating each row C times
+        return jnp.repeat(t, C, axis=0)
+
+    pxs = per_row(dx)  # shift values
+    pys = per_row(dy)
+
+    def corner_val(ox, oy):
+        use_left = (pxs + ox) == 0
+        use_top = (pys + oy) == 0
+        vx0 = jnp.where(use_top, c00, c10)
+        vx1 = jnp.where(use_top, c01, c11)
+        return jnp.where(use_left, vx0, vx1)
+
+    out = (
+        corner_val(0, 0) * per_row(w00)
+        + corner_val(1, 0) * per_row(w01)
+        + corner_val(0, 1) * per_row(w10)
+        + corner_val(1, 1) * per_row(w11)
+    )  # (TR*C, 128)
+    out = out.reshape(TR, C, 128)
+    out_ref[:, 0, :, :] = jnp.transpose(out, (1, 0, 2)).astype(dtype)
+
+
+def warp_pallas(
+    src_feat: jnp.ndarray,  # (H, W, C)
+    px: jnp.ndarray,  # (D, H, W) fp32 source-pixel x coords
+    py: jnp.ndarray,  # (D, H, W)
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Bilinear plane-sweep warp -> (C, D, H, W). Requires W % 128 == 0,
+    H % max(KY, TR) == 0 (pad upstream otherwise)."""
+    H, W, C = src_feat.shape
+    D = px.shape[0]
+    ky = KY if H % KY == 0 else TR
+    assert W % 128 == 0 and H % ky == 0 and H % TR == 0, (H, W)
+    packed = pack_src_for_warp(src_feat)  # (H, 4C, W)
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(_warp_kernel, H=H, W=W, C=C, ky=ky, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(D, H // TR, W // 128),
+        in_specs=[
+            pl.BlockSpec((1, TR, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # packed src stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (C, 1, TR, 128), lambda d, y, x: (0, d, y, x), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, D, H, W), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ky, 4 * C, KX), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), packed)
