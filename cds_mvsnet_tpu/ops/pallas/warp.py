@@ -146,25 +146,51 @@ def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, C, ky, dt
     out_ref[:, 0, :, :] = jnp.transpose(out, (1, 0, 2)).astype(dtype)
 
 
+def warp_pallas_padded(
+    src_feat: jnp.ndarray,  # (H, W, C)
+    px: jnp.ndarray,  # (D, H, W) output-grid coords (W need not be 128-aligned)
+    py: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """warp_pallas with automatic output-width padding to 128 lanes (padded
+    columns get out-of-range coords -> zeros, then are cropped)."""
+    D, H, W = px.shape
+    Wp = ((W + 127) // 128) * 128
+    if Wp != W:
+        pad = ((0, 0), (0, 0), (0, Wp - W))
+        px = jnp.pad(px, pad, constant_values=-1e6)
+        py = jnp.pad(py, pad, constant_values=-1e6)
+    out = warp_pallas(src_feat, px, py, interpret=interpret)
+    return out[..., :W] if Wp != W else out
+
+
 def warp_pallas(
     src_feat: jnp.ndarray,  # (H, W, C)
     px: jnp.ndarray,  # (D, H, W) fp32 source-pixel x coords
     py: jnp.ndarray,  # (D, H, W)
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Bilinear plane-sweep warp -> (C, D, H, W). Requires W % 128 == 0,
-    H % max(KY, TR) == 0 (pad upstream otherwise)."""
+    """Bilinear plane-sweep warp -> (C, D, H_out, W_out). Requires the OUTPUT
+    grid W % 128 == 0 and H % 8 == 0 (use warp_pallas_padded otherwise); the
+    source may have any shape (its storage is padded for DMA alignment, but
+    bounds/masks use the true dimensions)."""
     H, W, C = src_feat.shape
-    D = px.shape[0]
-    ky = KY if H % KY == 0 else TR
-    assert W % 128 == 0 and H % ky == 0 and H % TR == 0, (H, W)
+    D, H_out, W_out = px.shape
+    ky = KY
+    assert W_out % 128 == 0 and H_out % TR == 0, (H_out, W_out)
     packed = pack_src_for_warp(src_feat)  # (H, 4C, W)
+    # pad source storage so dynamically-placed (ky x 128) DMA windows are
+    # always in bounds (padding is never selected: bases clamp to true dims)
+    Hp = ((H + ky - 1) // ky) * ky
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
     dtype = src_feat.dtype
 
     kernel = functools.partial(_warp_kernel, H=H, W=W, C=C, ky=ky, dtype=dtype)
     return pl.pallas_call(
         kernel,
-        grid=(D, H // TR, W // 128),
+        grid=(D, H_out // TR, W_out // 128),
         in_specs=[
             pl.BlockSpec((1, TR, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TR, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
@@ -173,7 +199,7 @@ def warp_pallas(
         out_specs=pl.BlockSpec(
             (C, 1, TR, 128), lambda d, y, x: (0, d, y, x), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((C, D, H, W), dtype),
+        out_shape=jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
         scratch_shapes=[
             pltpu.VMEM((ky, 4 * C, KX), dtype),
             pltpu.SemaphoreType.DMA,
