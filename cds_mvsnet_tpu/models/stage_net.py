@@ -90,6 +90,15 @@ def stage_net(
     num_depth = depth_values.shape[1]
     ref_cam = cams[:, 0]
 
+    use_pallas = (
+        s2d_eval and not train and B == 1 and gt_depth is None
+        and jax.default_backend() in ("tpu", "axon")  # Mosaic needs real TPU
+    )
+    if use_pallas:
+        return _stage_net_pallas(
+            vis_params, cost_reg_params, features, cams, depth_values, stage_idx
+        )
+
     volume_sum = 0.0
     vis_sum = 0.0
     nc_sum = 0.0
@@ -163,6 +172,55 @@ def stage_net(
             feat_distance_vol = jnp.concatenate([feat_distance_vol, gt_feat_distance], axis=1)
         out["feat_distance"] = feat_distance_vol
     return out
+
+
+def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values, stage_idx):
+    """Eval stage with the Pallas banded-DMA warp kernel (B=1).
+
+    The warp outputs W-minor ``(C, D, h, w)`` volumes, so similarity,
+    visibility weighting, and accumulation all run padding-free; one
+    transpose feeds the s2d cost regularization.
+    """
+    from ..ops.geometry import plane_sweep_coords
+    from ..ops.pallas.warp import warp_pallas_padded
+    from .cost_reg import cost_reg_net_s2d
+
+    V = cams.shape[1]
+    D = depth_values.shape[1]
+    ref_cam = cams[:, 0]
+    h, w = features[0]["ref"][0].shape[1:3]
+
+    volume_sum = 0.0
+    vis_sum = 0.0
+    nc_sum = 0.0
+    for v in range(1, V):
+        ref_feat, ref_nc_sum, ref_nc = features[v - 1]["ref"]
+        src_feat, src_nc_sum, _ = features[v - 1]["src"]
+        px, py = plane_sweep_coords(ref_cam, cams[:, v], depth_values, h, w)
+        warped = warp_pallas_padded(
+            src_feat[0], px[0].reshape(D, h, w), py[0].reshape(D, h, w)
+        )  # (C, D, h, w)
+        ref_t = jnp.moveaxis(ref_feat[0], -1, 0)  # (C, h, w)
+        sim = jnp.einsum(
+            "chw,cdhw->dhw", ref_t, warped,
+            precision=default_precision(), preferred_element_type=jnp.float32,
+        )[None]
+        entropy = softmax_entropy(sim, axis=1)[:, 0]  # (1, h, w)
+        vis = _vis_head_s2d(
+            vis_params[str(stage_idx)], entropy.astype(ref_nc.dtype), ref_nc
+        )  # (1, h, w)
+        volume_sum = volume_sum + ref_t[:, None] * warped * vis[0][None, None]
+        vis_sum = vis_sum + vis
+        nc_sum = nc_sum + (ref_nc_sum + src_nc_sum) / 2
+
+    volume_mean = volume_sum / (vis_sum[0][None, None] + 1e-6)  # (C, D, h, w)
+    nc_mean = nc_sum / (V - 1)
+    volume_nhwc = jnp.moveaxis(volume_mean, 0, -1)[None]  # (1, D, h, w, C)
+    cost = cost_reg_net_s2d(cost_reg_params, volume_nhwc, b=4)[..., 0]
+    prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
+    depth = depth_regression(prob, depth_values.astype(jnp.float32))
+    conf = confidence_regression(prob)
+    return {"depth": depth, "photometric_confidence": conf, "norm_curv": nc_mean}
 
 
 def init_vis_heads(key, num_stages: int = 3) -> Params:

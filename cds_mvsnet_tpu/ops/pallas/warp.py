@@ -89,10 +89,10 @@ def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, C, ky, dt
     n_y = ywin_hi - ywin_lo + 1
     n_x = xwin_hi - xwin_lo + 1
 
-    acc0 = jnp.zeros((TR * C, 128), jnp.float32)
+    zero = jnp.zeros((C, 128), jnp.float32)
+    acc0 = tuple(tuple(zero for _ in range(TR)) for _ in range(4))
 
     def body(widx, accs):
-        acc00, acc01, acc10, acc11 = accs
         ys = (ywin_lo + widx // n_x) * KY
         xs = (xwin_lo + widx % n_x) * KX
 
@@ -106,21 +106,20 @@ def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, C, ky, dt
         xl = jnp.clip(bx - xs, 0, KX - 1)
         yl = by - ys
 
+        out = [list(rows) for rows in accs]
         for orow in range(TR):
             idx = jnp.broadcast_to(xl[orow].reshape(1, 128), (fourC, 128)).astype(jnp.int32)
-            sl = slice(orow * C, (orow + 1) * C)
             for r in range(KY):
-                g = jnp.take_along_axis(band[r], idx, axis=1).astype(jnp.float32)
+                # hardware gather needs matching bitwidths (int32 idx -> fp32)
+                g = jnp.take_along_axis(band[r].astype(jnp.float32), idx, axis=1)
                 sel = (in_win[orow] & (yl[orow] == r)).astype(jnp.float32).reshape(1, 128)
-                acc00 = acc00.at[sl].add(sel * g[0 * C : 1 * C])
-                acc01 = acc01.at[sl].add(sel * g[1 * C : 2 * C])
-                acc10 = acc10.at[sl].add(sel * g[2 * C : 3 * C])
-                acc11 = acc11.at[sl].add(sel * g[3 * C : 4 * C])
-        return acc00, acc01, acc10, acc11
+                for k in range(4):
+                    out[k][orow] = out[k][orow] + sel * g[k * C : (k + 1) * C]
+        return tuple(tuple(rows) for rows in out)
 
-    c00, c01, c10, c11 = jax.lax.fori_loop(
-        0, n_y * n_x, body, (acc0, acc0, acc0, acc0)
-    )
+    accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
+    # stack per-row accumulators back to (TR*C, 128)
+    c00, c01, c10, c11 = (jnp.concatenate(rows, axis=0) for rows in accs)
 
     # reshape helpers: per-lane scalars broadcast over C sublanes
     def per_row(t):  # (TR, 128) -> (TR*C, 128) repeating each row C times
