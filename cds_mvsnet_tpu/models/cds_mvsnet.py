@@ -82,6 +82,7 @@ def apply_cds_mvsnet(
     compute_dtype=jnp.float32,
     feature_chunk: int | None = None,
     feature_impl: str = "plain",  # "plain" | "folded" | "s2d" (eval-only variants)
+    cost_dtype=None,
 ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
     """Run the cascade.
 
@@ -217,6 +218,7 @@ def apply_cds_mvsnet(
             stage_idx,
             train=train,
             s2d_eval=(feature_impl == "s2d" and h_s % 32 == 0 and w_s % 32 == 0),
+            cost_dtype=cost_dtype,
             collector=collector,
             cost_reg_path=cost_reg_path,
             axis_name=axis_name,

@@ -66,6 +66,7 @@ def stage_net(
     stage_idx: int,
     train: bool = False,
     s2d_eval: bool = False,
+    cost_dtype=None,
     collector: StatsCollector | None = None,
     path: str = "stage_net",
     cost_reg_path: str = "cost_regularization",
@@ -96,7 +97,8 @@ def stage_net(
     )
     if use_pallas:
         return _stage_net_pallas(
-            vis_params, cost_reg_params, features, cams, depth_values, stage_idx
+            vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
+            cost_dtype=cost_dtype,
         )
 
     volume_sum = 0.0
@@ -174,7 +176,8 @@ def stage_net(
     return out
 
 
-def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values, stage_idx):
+def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
+                      cost_dtype=None):
     """Eval stage with the Pallas banded-DMA warp kernel (B=1).
 
     The warp outputs W-minor ``(C, D, h, w)`` volumes, so similarity,
@@ -216,6 +219,11 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
     volume_mean = volume_sum / (vis_sum[0][None, None] + 1e-6)  # (C, D, h, w)
     nc_mean = nc_sum / (V - 1)
     volume_nhwc = jnp.moveaxis(volume_mean, 0, -1)[None]  # (1, D, h, w, C)
+    if cost_dtype is not None:
+        # cost-volume regularization is the most quantization-sensitive part
+        # of the cascade (its logits drive the soft-argmin); s2d removed the
+        # lane-padding tax, so running it above bf16 costs only bandwidth
+        volume_nhwc = volume_nhwc.astype(cost_dtype)
     cost = cost_reg_net_s2d(cost_reg_params, volume_nhwc, b=4)[..., 0]
     prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
     depth = depth_regression(prob, depth_values.astype(jnp.float32))
