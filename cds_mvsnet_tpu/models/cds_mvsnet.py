@@ -107,6 +107,18 @@ def apply_cds_mvsnet(
     B, V, H, W, _ = imgs.shape
     height, width = (H // 2, W // 2) if cfg.refine else (H, W)
 
+    # Pallas fast path (eval, B=1, real TPU): requires every stage's dims to
+    # fit the kernel tiles and s2d blocks; features then flow channels-first
+    # (W-minor) end to end so no 128-lane-padded buffer is ever materialized.
+    stage_dims_ok = all(
+        (height // int(s_)) % 8 == 0 and (width // int(s_)) % 8 == 0
+        for s_ in cfg.stage_scales[: cfg.num_stages]
+    )
+    pallas_all = (
+        feature_impl == "s2d" and not train and B == 1 and gt_depths is None
+        and stage_dims_ok and jax.default_backend() in ("tpu", "axon")
+    )
+
     depth_min = depth_values[:, 0]
     depth_max = depth_values[:, -1]
     depth_interval = depth_values[:, 1] - depth_values[:, 0]  # (B,)
@@ -136,7 +148,9 @@ def apply_cds_mvsnet(
         if feature_impl == "s2d" and not train:
             from .feature_net_s2d import feature_net_s2d
 
-            return feature_net_s2d(params["feature"], xs, es, temperature)
+            return feature_net_s2d(
+                params["feature"], xs, es, temperature, channels_first=pallas_all
+            )
         if feature_impl == "folded" and not train:
             from .feature_net_folded import feature_net_folded
 
@@ -217,7 +231,8 @@ def apply_cds_mvsnet(
             depth_samples,
             stage_idx,
             train=train,
-            s2d_eval=(feature_impl == "s2d" and h_s % 32 == 0 and w_s % 32 == 0),
+            s2d_eval=(feature_impl == "s2d" and h_s % 8 == 0 and w_s % 8 == 0),
+            channels_first=pallas_all,
             cost_dtype=cost_dtype,
             collector=collector,
             cost_reg_path=cost_reg_path,

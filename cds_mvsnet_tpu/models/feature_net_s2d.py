@@ -82,9 +82,20 @@ def _cat_s2d(a, b_arr, bb):
     return jnp.concatenate([ar, br], axis=-1).reshape(N, Hp, Wp, -1)
 
 
-def feature_net_s2d(p: Params, x: jnp.ndarray, epipole: jnp.ndarray, temperature):
-    """``x (N,H,W,3)``, ``epipole (N,2)`` -> per-stage (feat (N,h,w,C),
-    nc_sum (N,h,w), |nc| (N,h,w)); equals :func:`feature_net` at eval."""
+def _d2s_cfirst(x, b, C):
+    """(N, H', W', b²·C) -> (N, C, H, W): depth-to-space straight into a
+    channels-first (W-minor) layout, skipping the 128-lane-padded NHWC
+    intermediate entirely."""
+    N, Hp, Wp, _ = x.shape
+    x = x.reshape(N, Hp, Wp, b, b, C)
+    return jnp.transpose(x, (0, 5, 1, 3, 2, 4)).reshape(N, C, Hp * b, Wp * b)
+
+
+def feature_net_s2d(p: Params, x: jnp.ndarray, epipole: jnp.ndarray, temperature,
+                    channels_first: bool = False):
+    """``x (N,H,W,3)``, ``epipole (N,2)`` -> per-stage (feat (N,h,w,C) — or
+    (N,C,h,w) with ``channels_first`` — nc_sum (N,h,w), |nc| (N,h,w));
+    equals :func:`feature_net` at eval."""
     N, H, W, _ = x.shape
     base = BASE_CHANNELS
     B0, B1, B2 = 8, 4, 2  # block sizes at full / half / quarter resolution
@@ -116,11 +127,13 @@ def feature_net_s2d(p: Params, x: jnp.ndarray, epipole: jnp.ndarray, temperature
     conv21, nc21 = dyn_wrapped("conv21", conv20, quad2, B2, 4 * base)
 
     outputs = {}
+    d2s = (lambda t, b, C: _d2s_cfirst(t, b, C)) if channels_first else (
+        lambda t, b, C: depth_to_space(t, b))
     intra = conv21
     out, nc22 = _dyn_s2d(p["out1"], intra, quad2, temperature, _DYN_KERNELS["out1"], B2)
     out = jnp.tanh(s2d_instance_norm(out, B2, 4 * base))
     outputs["stage1"] = (
-        depth_to_space(out, B2),
+        d2s(out, B2, 4 * base),
         _d2s_map((nc20**2 + nc21**2 + nc22**2) / 3, B2),
         _d2s_map(jnp.abs(nc22), B2),
     )
@@ -132,7 +145,7 @@ def feature_net_s2d(p: Params, x: jnp.ndarray, epipole: jnp.ndarray, temperature
     out, nc12 = _dyn_s2d(p["out2"], intra, quad1, temperature, _DYN_KERNELS["out2"], B1)
     out = jnp.tanh(s2d_instance_norm(out, B1, 2 * base))
     outputs["stage2"] = (
-        depth_to_space(out, B1),
+        d2s(out, B1, 2 * base),
         _d2s_map((nc10**2 + nc11**2 + nc12**2) / 3, B1),
         _d2s_map(jnp.abs(nc12), B1),
     )
@@ -144,7 +157,7 @@ def feature_net_s2d(p: Params, x: jnp.ndarray, epipole: jnp.ndarray, temperature
     out, nc02 = _dyn_s2d(p["out3"], intra, quad0, temperature, _DYN_KERNELS["out3"], B0)
     out = jnp.tanh(s2d_instance_norm(out, B0, base))
     outputs["stage3"] = (
-        depth_to_space(out, B0),
+        d2s(out, B0, base),
         _d2s_map((nc00**2 + nc01**2 + nc02**2) / 3, B0),
         _d2s_map(jnp.abs(nc02), B0),
     )

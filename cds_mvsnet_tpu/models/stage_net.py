@@ -66,6 +66,7 @@ def stage_net(
     stage_idx: int,
     train: bool = False,
     s2d_eval: bool = False,
+    channels_first: bool = False,
     cost_dtype=None,
     collector: StatsCollector | None = None,
     path: str = "stage_net",
@@ -98,8 +99,9 @@ def stage_net(
     if use_pallas:
         return _stage_net_pallas(
             vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
-            cost_dtype=cost_dtype,
+            cost_dtype=cost_dtype, channels_first=channels_first,
         )
+    assert not channels_first, "channels-first features require the Pallas path"
 
     volume_sum = 0.0
     vis_sum = 0.0
@@ -177,7 +179,7 @@ def stage_net(
 
 
 def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
-                      cost_dtype=None):
+                      cost_dtype=None, channels_first=False):
     """Eval stage with the Pallas banded-DMA warp kernel (B=1).
 
     The warp outputs W-minor ``(C, D, h, w)`` volumes, so similarity,
@@ -191,7 +193,10 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
     V = cams.shape[1]
     D = depth_values.shape[1]
     ref_cam = cams[:, 0]
-    h, w = features[0]["ref"][0].shape[1:3]
+    if channels_first:
+        h, w = features[0]["ref"][0].shape[2:4]
+    else:
+        h, w = features[0]["ref"][0].shape[1:3]
 
     volume_sum = 0.0
     vis_sum = 0.0
@@ -201,9 +206,10 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         src_feat, src_nc_sum, _ = features[v - 1]["src"]
         px, py = plane_sweep_coords(ref_cam, cams[:, v], depth_values, h, w)
         warped = warp_pallas_padded(
-            src_feat[0], px[0].reshape(D, h, w), py[0].reshape(D, h, w)
+            src_feat[0], px[0].reshape(D, h, w), py[0].reshape(D, h, w),
+            channels_first=channels_first,
         )  # (C, D, h, w)
-        ref_t = jnp.moveaxis(ref_feat[0], -1, 0)  # (C, h, w)
+        ref_t = ref_feat[0] if channels_first else jnp.moveaxis(ref_feat[0], -1, 0)
         sim = jnp.einsum(
             "chw,cdhw->dhw", ref_t, warped,
             precision=default_precision(), preferred_element_type=jnp.float32,

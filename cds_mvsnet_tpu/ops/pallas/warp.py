@@ -38,11 +38,18 @@ KX = 128  # source band lanes per window (= gather range)
 TR = 8  # output ref rows per tile
 
 
-def pack_src_for_warp(src: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, C) -> (H, 4C, W): 2x2-packed channels, W in lanes.
+def pack_src_for_warp(src: jnp.ndarray, channels_first: bool = False) -> jnp.ndarray:
+    """source -> (H, 4C, W): 2x2-packed channels, W in lanes.
 
     packed[y, (k·C+c), x] = src[y + k//2, x + k%2, c] (zeros past the edge).
+    Accepts (H, W, C) or — preferred, no 128-lane-padded reads — (C, H, W).
     """
+    if channels_first:
+        right = jnp.pad(src[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+        down = jnp.pad(src[:, 1:], ((0, 0), (0, 1), (0, 0)))
+        diag = jnp.pad(src[:, 1:, 1:], ((0, 0), (0, 1), (0, 1)))
+        packed = jnp.concatenate([src, right, down, diag], axis=0)  # (4C, H, W)
+        return jnp.transpose(packed, (1, 0, 2))  # (H, 4C, W)
     right = jnp.pad(src[:, 1:], ((0, 0), (0, 1), (0, 0)))
     down = jnp.pad(src[1:], ((0, 1), (0, 0), (0, 0)))
     diag = jnp.pad(src[1:, 1:], ((0, 1), (0, 1), (0, 0)))
@@ -146,10 +153,11 @@ def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, C, ky, dt
 
 
 def warp_pallas_padded(
-    src_feat: jnp.ndarray,  # (H, W, C)
+    src_feat: jnp.ndarray,  # (H, W, C) or (C, H, W) with channels_first
     px: jnp.ndarray,  # (D, H, W) output-grid coords (W need not be 128-aligned)
     py: jnp.ndarray,
     interpret: bool = False,
+    channels_first: bool = False,
 ) -> jnp.ndarray:
     """warp_pallas with automatic output-width padding to 128 lanes (padded
     columns get out-of-range coords -> zeros, then are cropped)."""
@@ -159,25 +167,29 @@ def warp_pallas_padded(
         pad = ((0, 0), (0, 0), (0, Wp - W))
         px = jnp.pad(px, pad, constant_values=-1e6)
         py = jnp.pad(py, pad, constant_values=-1e6)
-    out = warp_pallas(src_feat, px, py, interpret=interpret)
+    out = warp_pallas(src_feat, px, py, interpret=interpret, channels_first=channels_first)
     return out[..., :W] if Wp != W else out
 
 
 def warp_pallas(
-    src_feat: jnp.ndarray,  # (H, W, C)
+    src_feat: jnp.ndarray,  # (H, W, C) or (C, H, W) with channels_first
     px: jnp.ndarray,  # (D, H, W) fp32 source-pixel x coords
     py: jnp.ndarray,  # (D, H, W)
     interpret: bool = False,
+    channels_first: bool = False,
 ) -> jnp.ndarray:
     """Bilinear plane-sweep warp -> (C, D, H_out, W_out). Requires the OUTPUT
     grid W % 128 == 0 and H % 8 == 0 (use warp_pallas_padded otherwise); the
     source may have any shape (its storage is padded for DMA alignment, but
     bounds/masks use the true dimensions)."""
-    H, W, C = src_feat.shape
+    if channels_first:
+        C, H, W = src_feat.shape
+    else:
+        H, W, C = src_feat.shape
     D, H_out, W_out = px.shape
     ky = KY
     assert W_out % 128 == 0 and H_out % TR == 0, (H_out, W_out)
-    packed = pack_src_for_warp(src_feat)  # (H, 4C, W)
+    packed = pack_src_for_warp(src_feat, channels_first=channels_first)  # (H, 4C, W)
     # pad source storage so dynamically-placed (ky x 128) DMA windows are
     # always in bounds (padding is never selected: bases clamp to true dims)
     Hp = ((H + ky - 1) // ky) * ky
