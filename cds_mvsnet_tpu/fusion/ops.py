@@ -15,9 +15,12 @@ for output parity.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.geometry import _invert_intrinsics
+
+_P = jax.lax.Precision.HIGHEST  # geometry matmuls must not drop to bf16
 from ..ops.grid_sample import grid_sample_pixel
 
 __all__ = [
@@ -49,7 +52,7 @@ def _cam_inverses(cam: jnp.ndarray):
     Rt = jnp.swapaxes(R, -1, -2)
     Einv = jnp.zeros_like(cam[:, 0])
     Einv = Einv.at[:, :3, :3].set(Rt)
-    Einv = Einv.at[:, :3, 3:].set(-Rt @ t)
+    Einv = Einv.at[:, :3, 3:].set(-jnp.matmul(Rt, t, precision=_P))
     Einv = Einv.at[:, 3, 3].set(1.0)
     return Kinv, Einv
 
@@ -61,10 +64,10 @@ def unproject_to_world(depth: jnp.ndarray, cam: jnp.ndarray) -> jnp.ndarray:
     Kinv, Einv = _cam_inverses(cam)
     x, y = pixel_center_grid(H, W, depth.dtype)
     pix = jnp.stack([x, y, jnp.ones_like(x)], axis=-1).reshape(1, H * W, 3)
-    cam_dirs = pix @ jnp.swapaxes(Kinv, -1, -2)  # (B, HW, 3)
+    cam_dirs = jnp.matmul(pix, jnp.swapaxes(Kinv, -1, -2), precision=_P)  # (B, HW, 3)
     cam_dirs = cam_dirs / (cam_dirs[..., 2:3] + 1e-9)
     cam_pts = cam_dirs * depth.reshape(B, H * W, 1)
-    world = cam_pts @ jnp.swapaxes(Einv[:, :3, :3], -1, -2) + Einv[:, None, :3, 3]
+    world = jnp.matmul(cam_pts, jnp.swapaxes(Einv[:, :3, :3], -1, -2), precision=_P) + Einv[:, None, :3, 3]
     return world.reshape(B, H, W, 3)
 
 
@@ -75,9 +78,9 @@ def project_world_to_img(points: jnp.ndarray, cam: jnp.ndarray):
     pts = points.reshape(shape[0], -1, 3)
     E = cam[:, 0]
     K = cam[:, 1, :3, :3]
-    cam_pts = pts @ jnp.swapaxes(E[:, :3, :3], -1, -2) + E[:, None, :3, 3]
+    cam_pts = jnp.matmul(pts, jnp.swapaxes(E[:, :3, :3], -1, -2), precision=_P) + E[:, None, :3, 3]
     z = cam_pts[..., 2:3]
-    img = (cam_pts / (z + 1e-9)) @ jnp.swapaxes(K, -1, -2)
+    img = jnp.matmul(cam_pts / (z + 1e-9), jnp.swapaxes(K, -1, -2), precision=_P)
     img = img / (img[..., 2:3] + 1e-9)
     out_shape = shape[:-1]
     return (

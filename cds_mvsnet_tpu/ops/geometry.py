@@ -16,6 +16,15 @@ import jax.numpy as jnp
 
 from .grid_sample import grid_sample_pixel, pack_2x2, sample_packed_2x2
 
+# Geometry matmuls are tiny but precision-critical: an un-annotated `@` runs
+# as a single bf16 MXU pass on TPU, which costs up to several PIXELS of
+# plane-sweep coordinate error. Always full fp32.
+_P = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_P)
+
 __all__ = [
     "skew_matrix",
     "fundamental_matrix",
@@ -53,12 +62,12 @@ def fundamental_matrix(cams1: jnp.ndarray, cams2: jnp.ndarray) -> jnp.ndarray:
     # rotations invert by transpose; the upper-triangular K analytically.
     rot1_T = jnp.swapaxes(rot1, -1, -2)
     rot2_T = jnp.swapaxes(rot2, -1, -2)
-    center1 = -(rot1_T @ t1)
-    center2 = -(rot2_T @ t2)
-    proj2 = intr2 @ rot2
-    e2 = (proj2 @ (center1 - center2))[..., 0]  # (B, 3)
+    center1 = -_mm(rot1_T, t1)
+    center2 = -_mm(rot2_T, t2)
+    proj2 = _mm(intr2, rot2)
+    e2 = _mm(proj2, center1 - center2)[..., 0]  # (B, 3)
     # inv(K1 R1) = R1^T inv(K1)
-    return skew_matrix(e2) @ proj2 @ rot1_T @ _invert_intrinsics(intr1)
+    return _mm(_mm(_mm(skew_matrix(e2), proj2), rot1_T), _invert_intrinsics(intr1))
 
 
 def _invert_intrinsics(K: jnp.ndarray) -> jnp.ndarray:
@@ -114,7 +123,7 @@ def compose_projection(cams: jnp.ndarray) -> jnp.ndarray:
     Reference: model.py:40-43.
     """
     proj = cams[:, 0]
-    top = cams[:, 1, :3, :3] @ cams[:, 0, :3, :4]
+    top = _mm(cams[:, 1, :3, :3], cams[:, 0, :3, :4])
     return proj.at[:, :3, :4].set(top)
 
 
@@ -136,10 +145,10 @@ def relative_warp_transform(ref_cam: jnp.ndarray, src_cam: jnp.ndarray):
     K2, E2 = src_cam[:, 1, :3, :3], src_cam[:, 0]
     R1, t1 = E1[:, :3, :3], E1[:, :3, 3:]
     R2, t2 = E2[:, :3, :3], E2[:, :3, 3:]
-    R_rel = R2 @ jnp.swapaxes(R1, -1, -2)
-    t_rel = t2 - R_rel @ t1
-    rot = K2 @ R_rel @ _invert_intrinsics(K1)
-    trans = K2 @ t_rel
+    R_rel = _mm(R2, jnp.swapaxes(R1, -1, -2))
+    t_rel = t2 - _mm(R_rel, t1)
+    rot = _mm(_mm(K2, R_rel), _invert_intrinsics(K1))
+    trans = _mm(K2, t_rel)
     return rot, trans
 
 
@@ -159,7 +168,7 @@ def plane_sweep_coords(
         jnp.arange(H, dtype=dtype), jnp.arange(W, dtype=dtype), indexing="ij"
     )
     xyz = jnp.stack([x.ravel(), y.ravel(), jnp.ones(H * W, dtype=dtype)])  # (3, HW)
-    rot_xyz = rot @ xyz  # (B, 3, HW)
+    rot_xyz = _mm(rot, xyz)  # (B, 3, HW)
     depth = depth_values.reshape(B, 1, D, -1)  # (B,1,D,1) or (B,1,D,HW)
     proj_xyz = rot_xyz[:, :, None, :] * depth + trans[:, :, None, :]  # (B, 3, D, HW)
     px = proj_xyz[:, 0] / (proj_xyz[:, 2] + 1e-6)  # (B, D, HW)
