@@ -61,9 +61,16 @@ def main():
         params = init_cds_mvsnet(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(params)
 
+    # Textured-plane scene: geometrically consistent views with coherent
+    # depth structure, the workload shape of real DTU scans (random-noise
+    # images produce pathological incoherent depth hypotheses that no real
+    # capture exhibits).
+    from cds_mvsnet_tpu.utils.synthetic import textured_plane_batch
+
     batch = jax.tree.map(
-        jnp.asarray, synthetic_batch(B=1, V=V, H=H, W=W, D=D, refine=False)
+        jnp.asarray, textured_plane_batch(V=V, H=H, W=W, D=D, refine=False)
     )
+    batch.pop("gt_plane_depth", None)
 
     @jax.jit
     def forward(params, imgs, proj, depth_values):

@@ -92,16 +92,25 @@ def stage_net(
     num_depth = depth_values.shape[1]
     ref_cam = cams[:, 0]
 
+    feat0 = features[0]["ref"][0]
+    n_ch = feat0.shape[1] if channels_first else feat0.shape[-1]
     use_pallas = (
         s2d_eval and not train and B == 1 and gt_depth is None
         and jax.default_backend() in ("tpu", "axon")  # Mosaic needs real TPU
+        # the kernel's per-band row loop scales with 4C sublanes; measured
+        # crossover: XLA gathers win at C=32 (stage1), Pallas at C<=16
+        and n_ch <= 16
     )
     if use_pallas:
         return _stage_net_pallas(
             vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
             cost_dtype=cost_dtype, channels_first=channels_first,
         )
-    assert not channels_first, "channels-first features require the Pallas path"
+    if channels_first:  # XLA fallback consumes channel-last features
+        features = [
+            {k: (jnp.moveaxis(f[0], 1, -1), f[1], f[2]) for k, f in pair.items()}
+            for pair in features
+        ]
 
     volume_sum = 0.0
     vis_sum = 0.0

@@ -103,26 +103,32 @@ def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, C, ky, dt
         ys = (ywin_lo + widx // n_x) * KY
         xs = (xwin_lo + widx % n_x) * KX
 
-        copy = pltpu.make_async_copy(
-            src_hbm.at[pl.ds(ys, KY), :, pl.ds(xs, KX)], band, sem
-        )
-        copy.start()
-        copy.wait()
-
         in_win = (by >= ys) & (by < ys + KY) & (bx >= xs) & (bx < xs + KX)  # (TR,128)
-        xl = jnp.clip(bx - xs, 0, KX - 1)
-        yl = by - ys
 
-        out = [list(rows) for rows in accs]
-        for orow in range(TR):
-            idx = jnp.broadcast_to(xl[orow].reshape(1, 128), (fourC, 128)).astype(jnp.int32)
-            for r in range(KY):
-                # hardware gather needs matching bitwidths (int32 idx -> fp32)
-                g = jnp.take_along_axis(band[r].astype(jnp.float32), idx, axis=1)
-                sel = (in_win[orow] & (yl[orow] == r)).astype(jnp.float32).reshape(1, 128)
-                for k in range(4):
-                    out[k][orow] = out[k][orow] + sel * g[k * C : (k + 1) * C]
-        return tuple(tuple(rows) for rows in out)
+        def hit(_):
+            copy = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(ys, KY), :, pl.ds(xs, KX)], band, sem
+            )
+            copy.start()
+            copy.wait()
+
+            xl = jnp.clip(bx - xs, 0, KX - 1)
+            yl = by - ys
+
+            out = [list(rows) for rows in accs]
+            for orow in range(TR):
+                idx = jnp.broadcast_to(xl[orow].reshape(1, 128), (fourC, 128)).astype(jnp.int32)
+                for r in range(KY):
+                    # hardware gather needs matching bitwidths (int32 idx -> fp32)
+                    g = jnp.take_along_axis(band[r].astype(jnp.float32), idx, axis=1)
+                    sel = (in_win[orow] & (yl[orow] == r)).astype(jnp.float32).reshape(1, 128)
+                    for k in range(4):
+                        out[k][orow] = out[k][orow] + sel * g[k * C : (k + 1) * C]
+            return tuple(tuple(rows) for rows in out)
+
+        # sparse-hit tiles (incoherent depth hypotheses) sweep many windows;
+        # skip the DMA + gathers entirely for windows no lane falls into
+        return jax.lax.cond(jnp.any(in_win), hit, lambda _: accs, None)
 
     accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
     # stack per-row accumulators back to (TR*C, 128)
