@@ -219,9 +219,10 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
             channels_first=channels_first,
         )  # (C, D, h, w)
         ref_t = ref_feat[0] if channels_first else jnp.moveaxis(ref_feat[0], -1, 0)
-        sim = jnp.einsum(
-            "chw,cdhw->dhw", ref_t, warped,
-            precision=default_precision(), preferred_element_type=jnp.float32,
+        # multiply-reduce instead of dot_general: the C contraction is tiny
+        # and W-minor elementwise+reduce fuses without relayout
+        sim = jnp.sum(
+            warped.astype(jnp.float32) * ref_t[:, None].astype(jnp.float32), axis=0
         )[None]
         entropy = softmax_entropy(sim, axis=1)[:, 0]  # (1, h, w)
         vis = _vis_head_s2d(
