@@ -57,7 +57,7 @@ def pack_src_for_warp(src: jnp.ndarray, channels_first: bool = False) -> jnp.nda
     return jnp.transpose(packed, (0, 2, 1))  # (H, 4C, W)
 
 
-def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, C, ky, dtype):
+def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, Wpad, C, ky, dtype):
     """Grid step: one (depth plane, TR ref rows, 128 ref columns) tile."""
     KY = ky
     fourC = 4 * C
@@ -88,22 +88,28 @@ def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, C, ky, dt
     w10 = wmask(0, 1, (1 - tx) * ty)
     w11 = wmask(1, 1, tx * ty)
 
-    # window grid over the tile's base bounding box
-    ywin_lo = jnp.min(by) // KY
-    ywin_hi = jnp.max(by) // KY
+    # Window rows are ANCHORED at the tile's own ymin (the H dim of the
+    # source buffer is freely sliceable), so a tile whose vertical span fits
+    # KY rows needs exactly one row-band even straddling aligned boundaries.
+    # Columns must stay 128-aligned (Mosaic requires lane-dim DMA slices on
+    # tile boundaries), so x windows use the canonical aligned grid.
+    ymin = jnp.min(by)
+    n_y = (jnp.max(by) - ymin) // KY + 1
     xwin_lo = jnp.min(bx) // KX
-    xwin_hi = jnp.max(bx) // KX
-    n_y = ywin_hi - ywin_lo + 1
-    n_x = xwin_hi - xwin_lo + 1
+    n_x = jnp.max(bx) // KX - xwin_lo + 1
 
     zero = jnp.zeros((C, 128), jnp.float32)
     acc0 = tuple(tuple(zero for _ in range(TR)) for _ in range(4))
 
     def body(widx, accs):
-        ys = (ywin_lo + widx // n_x) * KY
-        xs = (xwin_lo + widx % n_x) * KX
+        jy = widx // n_x
+        jx = xwin_lo + widx % n_x
+        # clamp so the DMA window stays inside the (padded) source storage;
+        # clamping only widens coverage downward, membership stays canonical
+        ys = jnp.minimum(ymin + jy * KY, Hpad - KY)
+        xs = jx * KX
 
-        in_win = (by >= ys) & (by < ys + KY) & (bx >= xs) & (bx < xs + KX)  # (TR,128)
+        in_win = ((by - ymin) // KY == jy) & (bx // KX == jx)  # (TR,128)
 
         def hit(_):
             copy = pltpu.make_async_copy(
@@ -204,7 +210,9 @@ def warp_pallas(
         packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
     dtype = src_feat.dtype
 
-    kernel = functools.partial(_warp_kernel, H=H, W=W, C=C, ky=ky, dtype=dtype)
+    kernel = functools.partial(
+        _warp_kernel, H=H, W=W, Hpad=Hp, Wpad=Wp, C=C, ky=ky, dtype=dtype
+    )
     return pl.pallas_call(
         kernel,
         grid=(D, H_out // TR, W_out // 128),
