@@ -62,6 +62,9 @@ class TrainConfig:
     seed: int = 123
     early_stop: int = 10
     monitor: str = "min val_loss"
+    # "fp32" (reference-parity) or "bf16": conv/feature/volume compute dtype
+    # of the train step; master params, loss, softmaxes stay fp32 (§5.7)
+    compute_dtype: str = "fp32"
 
 
 @dataclass(frozen=True)

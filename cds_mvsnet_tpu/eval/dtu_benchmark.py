@@ -29,7 +29,14 @@ from scipy.spatial import cKDTree
 
 from ..io.ply import read_ply
 
-__all__ = ["DTU_EVAL_SETS", "reduce_points", "nn_distances", "evaluate_scan", "evaluate_scans"]
+__all__ = [
+    "DTU_EVAL_SETS",
+    "reduce_points",
+    "nn_distances",
+    "score_points",
+    "evaluate_scan",
+    "evaluate_scans",
+]
 
 DTU_EVAL_SETS = [1, 4, 9, 10, 11, 12, 13, 15, 23, 24, 29, 32, 33, 34, 48, 49, 62, 75, 77, 110, 114, 118]
 
@@ -59,6 +66,37 @@ def nn_distances(q_from: np.ndarray, q_to: np.ndarray, max_dist: float = 60.0) -
     tree = cKDTree(q_to)
     d, _ = tree.query(q_from, k=1, distance_upper_bound=max_dist)
     return np.minimum(np.nan_to_num(d, posinf=max_dist), max_dist)
+
+
+def score_points(
+    pred: np.ndarray,
+    gt: np.ndarray,
+    dst: float = 0.2,
+    max_dist: float = 20.0,
+    seed: int = 0,
+) -> dict:
+    """Mask-free accuracy/completeness between a predicted and a GT cloud.
+
+    The ObsMask/Plane-free core of ``evaluate_scan`` (same reduce -> NN ->
+    <max_dist filtering as BaseEvalMain_web.m / PointCompareMain.m), usable
+    on synthetic scenes with exact geometry — the scorer-validation path when
+    no official DTU SampleSet is available.
+    """
+    pred = reduce_points(np.asarray(pred, np.float64), dst, seed=seed)
+    gt = np.asarray(gt, np.float64)
+    d_acc = nn_distances(pred, gt)
+    d_comp = nn_distances(gt, pred)
+    fa = d_acc[d_acc < max_dist]
+    fc = d_comp[d_comp < max_dist]
+    return {
+        "acc_mean": float(np.mean(fa)) if len(fa) else float("nan"),
+        "acc_median": float(np.median(fa)) if len(fa) else float("nan"),
+        "comp_mean": float(np.mean(fc)) if len(fc) else float("nan"),
+        "comp_median": float(np.median(fc)) if len(fc) else float("nan"),
+        "n_pred": int(len(pred)),
+        "acc_inlier_frac": float(len(fa) / max(1, len(pred))),
+        "comp_inlier_frac": float(len(fc) / max(1, len(gt))),
+    }
 
 
 @dataclass

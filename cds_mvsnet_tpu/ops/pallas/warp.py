@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["warp_pallas", "pack_src_for_warp"]
+__all__ = ["warp_pallas", "warp_pallas_v2", "warp_pallas_v3", "warp_pallas_v4", "pack_src_for_warp"]
 
 KY = 16  # source band rows per window
 KX = 128  # source band lanes per window (= gather range)
@@ -164,23 +164,487 @@ def _warp_kernel(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, Wpa
     out_ref[:, 0, :, :] = jnp.transpose(out, (1, 0, 2)).astype(dtype)
 
 
+def _warp_kernel_v2(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, C, ky, dtype):
+    """v2 grid step: per-OUTPUT-ROW anchored source bands.
+
+    v1 sweeps one tile-wide (KY x 128) band and resolves each output row with
+    KY masked lane-gathers — KY·TR gathers/tile, all-rows-live accumulators.
+    v2 anchors a small (ky x 128) band at each output row's own ymin (output
+    rows span few source rows; lane-wise y variation is the only spread), so
+    each hit window costs ONE batched lane-gather of the flattened band plus
+    a ky-row mask-reduce: ~TR gathers/tile and one (4C, 128) accumulator live
+    at a time. Same exactness contract as v1 (window sweep covers arbitrary
+    geometry; distant coordinates only cost iterations).
+    """
+    fourC = 4 * C
+    px = px_ref[0].astype(jnp.float32)  # (TR, 128)
+    py = py_ref[0].astype(jnp.float32)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    dx = x0 - bx
+    dy = y0 - by
+
+    def wmask(ox, oy, wgt):
+        xi = x0 + ox
+        yi = y0 + oy
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return wgt * ok.astype(jnp.float32)
+
+    w00 = wmask(0, 0, (1 - tx) * (1 - ty))
+    w01 = wmask(1, 0, tx * (1 - ty))
+    w10 = wmask(0, 1, (1 - tx) * ty)
+    w11 = wmask(1, 1, tx * ty)
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ky, 1, 128), 0)
+
+    for orow in range(TR):
+        bx_r = bx[orow].reshape(1, 128)
+        by_r = by[orow].reshape(1, 128)
+        ymin = jnp.min(by_r)
+        n_y = (jnp.max(by_r) - ymin) // ky + 1
+        xwin_lo = jnp.min(bx_r) // KX
+        n_x = jnp.max(bx_r) // KX - xwin_lo + 1
+
+        def body(widx, acc, by_r=by_r, bx_r=bx_r, ymin=ymin, n_x=n_x):
+            jy = widx // n_x
+            jx = xwin_lo + widx % n_x
+            ys = jnp.minimum(ymin + jy * ky, Hpad - ky)
+            xs = jx * KX
+            in_win = ((by_r - ymin) // ky == jy) & (bx_r // KX == jx)  # (1,128)
+
+            def hit(_):
+                copy = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(ys, ky), :, pl.ds(xs, KX)], band, sem
+                )
+                copy.start()
+                copy.wait()
+                xl = jnp.clip(bx_r - xs, 0, KX - 1)  # (1, 128)
+                idx = jnp.broadcast_to(xl, (ky * fourC, 128)).astype(jnp.int32)
+                flat = band[...].reshape(ky * fourC, KX).astype(jnp.float32)
+                g = jnp.take_along_axis(flat, idx, axis=1).reshape(ky, fourC, KX)
+                yl = by_r - ys  # (1, 128)
+                sel = (in_win & (yl == riota[:, 0])).astype(jnp.float32)  # (ky,128)
+                return acc + jnp.sum(g * sel[:, None, :], axis=0)  # (4C, 128)
+
+            return jax.lax.cond(jnp.any(in_win), hit, lambda _: acc, None)
+
+        acc = jax.lax.fori_loop(
+            0, n_y * n_x, body, jnp.zeros((fourC, 128), jnp.float32)
+        )
+
+        c00, c01, c10, c11 = (acc[k * C : (k + 1) * C] for k in range(4))
+        pxs = jnp.broadcast_to(dx[orow].reshape(1, 128), (C, 128))
+        pys = jnp.broadcast_to(dy[orow].reshape(1, 128), (C, 128))
+
+        def corner_val(ox, oy):
+            use_left = (pxs + ox) == 0
+            use_top = (pys + oy) == 0
+            vx0 = jnp.where(use_top, c00, c10)
+            vx1 = jnp.where(use_top, c01, c11)
+            return jnp.where(use_left, vx0, vx1)
+
+        def bc(wrow):
+            return jnp.broadcast_to(wrow[orow].reshape(1, 128), (C, 128))
+
+        out = (
+            corner_val(0, 0) * bc(w00)
+            + corner_val(1, 0) * bc(w01)
+            + corner_val(0, 1) * bc(w10)
+            + corner_val(1, 1) * bc(w11)
+        )  # (C, 128)
+        out_ref[:, 0, orow, :] = out.astype(dtype)
+
+
+def _warp_kernel_v4(px_ref, py_ref, src_hbm, out_ref, bands, sems, spare, ssem,
+                    *, H, W, Hpad, C, ky, dtype):
+    """v4 grid step: v2's per-output-row anchored minimal bands, but all TR
+    primary-window DMAs are issued UP FRONT so their latencies overlap (v2
+    pays TR serialized start->wait round trips — measured 2x slower than v1
+    despite 4x less gather volume). Rows whose lanes straddle extra (ky x
+    128) windows fall back to a serial spare-buffer sweep (rare on coherent
+    geometry, exact on any geometry)."""
+    fourC = 4 * C
+    px = px_ref[0].astype(jnp.float32)  # (TR, 128)
+    py = py_ref[0].astype(jnp.float32)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    dx = x0 - bx
+    dy = y0 - by
+
+    def wmask(ox, oy, wgt):
+        xi = x0 + ox
+        yi = y0 + oy
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return wgt * ok.astype(jnp.float32)
+
+    w00 = wmask(0, 0, (1 - tx) * (1 - ty))
+    w01 = wmask(1, 0, tx * (1 - ty))
+    w10 = wmask(0, 1, (1 - tx) * ty)
+    w11 = wmask(1, 1, tx * ty)
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ky, 128), 0)
+
+    # phase 1: per-row primary-window DMAs, all in flight together
+    descs = []
+    for orow in range(TR):
+        by_r = by[orow].reshape(1, 128)
+        bx_r = bx[orow].reshape(1, 128)
+        ymin = jnp.min(by_r)
+        n_y = (jnp.max(by_r) - ymin) // ky + 1
+        xlo = jnp.min(bx_r) // KX
+        n_x = jnp.max(bx_r) // KX - xlo + 1
+        ys0 = jnp.minimum(ymin, Hpad - ky)
+        xs0 = xlo * KX
+        pltpu.make_async_copy(
+            src_hbm.at[pl.ds(ys0, ky), :, pl.ds(xs0, KX)],
+            bands.at[orow],
+            sems.at[orow],
+        ).start()
+        descs.append((by_r, bx_r, ymin, n_y, xlo, n_x, ys0, xs0))
+
+    # phase 2: per-row gather + (rare) extra-window sweep + corner resolve
+    for orow in range(TR):
+        by_r, bx_r, ymin, n_y, xlo, n_x, ys0, xs0 = descs[orow]
+        pltpu.make_async_copy(
+            src_hbm.at[pl.ds(ys0, ky), :, pl.ds(xs0, KX)],
+            bands.at[orow],
+            sems.at[orow],
+        ).wait()
+
+        def gather_from(buf, ys, xs, in_win, by_r=by_r, bx_r=bx_r):
+            xl = jnp.clip(bx_r - xs, 0, KX - 1)
+            idx = jnp.broadcast_to(xl, (ky * fourC, 128)).astype(jnp.int32)
+            flat = buf[...].reshape(ky * fourC, KX).astype(jnp.float32)
+            g = jnp.take_along_axis(flat, idx, axis=1).reshape(ky, fourC, KX)
+            sel = (in_win & ((by_r - ys) == riota)).astype(jnp.float32)  # (ky,128)
+            return jnp.sum(g * sel[:, None, :], axis=0)  # (4C, 128)
+
+        in_win0 = ((by_r - ymin) // ky == 0) & (bx_r // KX == xlo)
+        acc = gather_from(bands.at[orow], ys0, xs0, in_win0)
+
+        def body(widx, acc, by_r=by_r, bx_r=bx_r, ymin=ymin, n_x=n_x, xlo=xlo):
+            jy = widx // n_x
+            jx = xlo + widx % n_x
+            ys = jnp.minimum(ymin + jy * ky, Hpad - ky)
+            xs = jx * KX
+            in_win = ((by_r - ymin) // ky == jy) & (bx_r // KX == jx)
+
+            def hit(_):
+                copy = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(ys, ky), :, pl.ds(xs, KX)], spare, ssem
+                )
+                copy.start()
+                copy.wait()
+                return acc + gather_from(spare, ys, xs, in_win)
+
+            return jax.lax.cond(jnp.any(in_win), hit, lambda _: acc, None)
+
+        acc = jax.lax.fori_loop(1, n_y * n_x, body, acc)
+
+        c00, c01, c10, c11 = (acc[k * C : (k + 1) * C] for k in range(4))
+        pxs = jnp.broadcast_to(dx[orow].reshape(1, 128), (C, 128))
+        pys = jnp.broadcast_to(dy[orow].reshape(1, 128), (C, 128))
+
+        def corner_val(ox, oy):
+            use_left = (pxs + ox) == 0
+            use_top = (pys + oy) == 0
+            vx0 = jnp.where(use_top, c00, c10)
+            vx1 = jnp.where(use_top, c01, c11)
+            return jnp.where(use_left, vx0, vx1)
+
+        def bc(wrow):
+            return jnp.broadcast_to(wrow[orow].reshape(1, 128), (C, 128))
+
+        out = (
+            corner_val(0, 0) * bc(w00)
+            + corner_val(1, 0) * bc(w01)
+            + corner_val(0, 1) * bc(w10)
+            + corner_val(1, 1) * bc(w11)
+        )
+        out_ref[:, 0, orow, :] = out.astype(dtype)
+
+
+def warp_pallas_v4(
+    src_feat: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    ky: int = 4,
+    interpret: bool = False,
+    channels_first: bool = False,
+) -> jnp.ndarray:
+    """Pipelined row-anchored-band warp; same contract as :func:`warp_pallas`."""
+    if channels_first:
+        C, H, W = src_feat.shape
+    else:
+        H, W, C = src_feat.shape
+    D, H_out, W_out = px.shape
+    assert W_out % 128 == 0 and H_out % TR == 0, (H_out, W_out)
+    packed = pack_src_for_warp(src_feat, channels_first=channels_first)
+    Hp = ((H + ky - 1) // ky) * ky
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v4, H=H, W=W, Hpad=Hp, C=C, ky=ky, dtype=dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(D, H_out // TR, W_out // 128),
+        in_specs=[
+            pl.BlockSpec((1, TR, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, 1, TR, 128), lambda d, y, x: (0, d, y, x), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((TR, ky, 4 * C, KX), dtype),
+            pltpu.SemaphoreType.DMA((TR,)),
+            pltpu.VMEM((ky, 4 * C, KX), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), packed)
+
+
+def _warp_kernel_v3(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, C, ky, tr, dtype):
+    """v3 grid step: v1's tile-anchored window DMA, but each output row is
+    resolved with ONE batched lane-gather of the flattened (ky·4C, 128) band
+    + a ky-row mask-reduce (vs v1's ky separate masked gathers per row), and
+    corners are combined per row so only one (4C, 128) accumulator is live."""
+    fourC = 4 * C
+    px = px_ref[0].astype(jnp.float32)  # (TR, 128)
+    py = py_ref[0].astype(jnp.float32)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    dx = x0 - bx
+    dy = y0 - by
+
+    def wmask(ox, oy, wgt):
+        xi = x0 + ox
+        yi = y0 + oy
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return wgt * ok.astype(jnp.float32)
+
+    w00 = wmask(0, 0, (1 - tx) * (1 - ty))
+    w01 = wmask(1, 0, tx * (1 - ty))
+    w10 = wmask(0, 1, (1 - tx) * ty)
+    w11 = wmask(1, 1, tx * ty)
+
+    ymin = jnp.min(by)
+    n_y = (jnp.max(by) - ymin) // ky + 1
+    xwin_lo = jnp.min(bx) // KX
+    n_x = jnp.max(bx) // KX - xwin_lo + 1
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ky, 128), 0)
+    zero = jnp.zeros((fourC, 128), jnp.float32)
+    acc0 = tuple(zero for _ in range(tr))
+
+    def body(widx, accs):
+        jy = widx // n_x
+        jx = xwin_lo + widx % n_x
+        ys = jnp.minimum(ymin + jy * ky, Hpad - ky)
+        xs = jx * KX
+        in_win = ((by - ymin) // ky == jy) & (bx // KX == jx)  # (TR,128)
+
+        def hit(_):
+            copy = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(ys, ky), :, pl.ds(xs, KX)], band, sem
+            )
+            copy.start()
+            copy.wait()
+            flat = band[...].reshape(ky * fourC, KX).astype(jnp.float32)
+            yl = by - ys  # (TR, 128)
+            out = list(accs)
+            for orow in range(tr):
+                xl = jnp.clip(bx[orow] - xs, 0, KX - 1).reshape(1, 128)
+                idx = jnp.broadcast_to(xl, (ky * fourC, 128)).astype(jnp.int32)
+                g = jnp.take_along_axis(flat, idx, axis=1).reshape(ky, fourC, KX)
+                sel = (in_win[orow].reshape(1, 128) & (yl[orow].reshape(1, 128) == riota)
+                       ).astype(jnp.float32)  # (ky, 128)
+                out[orow] = out[orow] + jnp.sum(g * sel[:, None, :], axis=0)
+            return tuple(out)
+
+        return jax.lax.cond(jnp.any(in_win), hit, lambda _: accs, None)
+
+    accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
+
+    for orow in range(tr):
+        acc = accs[orow]
+        c00, c01, c10, c11 = (acc[k * C : (k + 1) * C] for k in range(4))
+        pxs = jnp.broadcast_to(dx[orow].reshape(1, 128), (C, 128))
+        pys = jnp.broadcast_to(dy[orow].reshape(1, 128), (C, 128))
+
+        def corner_val(ox, oy):
+            use_left = (pxs + ox) == 0
+            use_top = (pys + oy) == 0
+            vx0 = jnp.where(use_top, c00, c10)
+            vx1 = jnp.where(use_top, c01, c11)
+            return jnp.where(use_left, vx0, vx1)
+
+        def bc(wrow):
+            return jnp.broadcast_to(wrow[orow].reshape(1, 128), (C, 128))
+
+        out = (
+            corner_val(0, 0) * bc(w00)
+            + corner_val(1, 0) * bc(w01)
+            + corner_val(0, 1) * bc(w10)
+            + corner_val(1, 1) * bc(w11)
+        )
+        out_ref[:, 0, orow, :] = out.astype(dtype)
+
+
+def warp_pallas_v2(
+    src_feat: jnp.ndarray,  # (H, W, C) or (C, H, W) with channels_first
+    px: jnp.ndarray,  # (D, H, W) fp32 source-pixel x coords
+    py: jnp.ndarray,
+    ky: int = 4,
+    interpret: bool = False,
+    channels_first: bool = False,
+) -> jnp.ndarray:
+    """Row-anchored-band warp -> (C, D, H_out, W_out); same contract as
+    :func:`warp_pallas` (output W % 128 == 0, H % 8 == 0)."""
+    if channels_first:
+        C, H, W = src_feat.shape
+    else:
+        H, W, C = src_feat.shape
+    D, H_out, W_out = px.shape
+    assert W_out % 128 == 0 and H_out % TR == 0, (H_out, W_out)
+    packed = pack_src_for_warp(src_feat, channels_first=channels_first)  # (H, 4C, W)
+    Hp = ((H + ky - 1) // ky) * ky
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v2, H=H, W=W, Hpad=Hp, C=C, ky=ky, dtype=dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(D, H_out // TR, W_out // 128),
+        in_specs=[
+            pl.BlockSpec((1, TR, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TR, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # packed src stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (C, 1, TR, 128), lambda d, y, x: (0, d, y, x), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ky, 4 * C, KX), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), packed)
+
+
 def warp_pallas_padded(
     src_feat: jnp.ndarray,  # (H, W, C) or (C, H, W) with channels_first
     px: jnp.ndarray,  # (D, H, W) output-grid coords (W need not be 128-aligned)
     py: jnp.ndarray,
     interpret: bool = False,
     channels_first: bool = False,
+    variant: str | None = None,  # "v1"|"v2"|"v3"|"v4" (None = WARP_VARIANT env or v1)
+    ky: int | None = None,  # band rows (v2/v3/v4 only; None = variant default)
+    tr: int | None = None,  # output rows per tile (v3 only; None = default 8)
 ) -> jnp.ndarray:
     """warp_pallas with automatic output-width padding to 128 lanes (padded
     columns get out-of-range coords -> zeros, then are cropped)."""
+    import os
+
     D, H, W = px.shape
     Wp = ((W + 127) // 128) * 128
     if Wp != W:
         pad = ((0, 0), (0, 0), (0, Wp - W))
         px = jnp.pad(px, pad, constant_values=-1e6)
         py = jnp.pad(py, pad, constant_values=-1e6)
-    out = warp_pallas(src_feat, px, py, interpret=interpret, channels_first=channels_first)
+    variant = variant or os.environ.get("WARP_VARIANT", "v1")
+    fn = {"v1": warp_pallas, "v2": warp_pallas_v2, "v3": warp_pallas_v3,
+          "v4": warp_pallas_v4}[variant]
+    kwargs = {} if (variant == "v1" or ky is None) else {"ky": ky}
+    if variant == "v3" and tr is not None:
+        kwargs["tr"] = tr
+    out = fn(src_feat, px, py, interpret=interpret, channels_first=channels_first, **kwargs)
     return out[..., :W] if Wp != W else out
+
+
+def warp_pallas_v3(
+    src_feat: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    ky: int = KY,
+    tr: int = TR,
+    interpret: bool = False,
+    channels_first: bool = False,
+) -> jnp.ndarray:
+    """Tile-anchored-band warp with batched per-row gathers; same contract as
+    :func:`warp_pallas`. ``tr`` output rows per tile (bigger tiles amortize
+    the per-tile DMA; ``ky`` must cover the taller tile's source span or
+    extra windows sweep)."""
+    if channels_first:
+        C, H, W = src_feat.shape
+    else:
+        H, W, C = src_feat.shape
+    D, H_out, W_out = px.shape
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    packed = pack_src_for_warp(src_feat, channels_first=channels_first)
+    Hp = ((H + ky - 1) // ky) * ky
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v3, H=H, W=W, Hpad=Hp, C=C, ky=ky, tr=tr, dtype=dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(D, H_out // tr, W_out // 128),
+        in_specs=[
+            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, 1, tr, 128), lambda d, y, x: (0, d, y, x), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ky, 4 * C, KX), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), packed)
 
 
 def warp_pallas(

@@ -84,6 +84,10 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx, lr_sched
       depth_values (B,D), depth {stage: (B,h,w)}, mask {stage: (B,h,w)}.
     """
     dlossw = train_cfg.dlossw
+    compute_dtype = (
+        jnp.bfloat16 if getattr(train_cfg, "compute_dtype", "fp32") == "bf16"
+        else jnp.float32
+    )
 
     def step(state: TrainState, batch, temperature):
         depth_values = batch["depth_values"]
@@ -94,6 +98,7 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx, lr_sched
                 params, model_cfg,
                 batch["imgs"], batch["proj_matrices"], depth_values,
                 temperature=temperature, train=True, gt_depths=batch["depth"],
+                compute_dtype=compute_dtype,
             )
             loss, depth_loss = final_loss(
                 outputs, batch["depth"], batch["mask"], dlossw, depth_interval

@@ -6,7 +6,15 @@ import numpy as np
 import pytest
 
 from cds_mvsnet_tpu.ops.grid_sample import grid_sample_pixel_packed
-from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas
+from cds_mvsnet_tpu.ops.pallas.warp import (
+    warp_pallas,
+    warp_pallas_v2,
+    warp_pallas_v3,
+    warp_pallas_v4,
+)
+
+VARIANTS = {"v1": warp_pallas, "v2": warp_pallas_v2, "v3": warp_pallas_v3,
+            "v4": warp_pallas_v4}
 
 
 def reference(src, px, py):
@@ -17,8 +25,9 @@ def reference(src, px, py):
     return np.transpose(np.asarray(out).reshape(D, H, W, -1), (3, 0, 1, 2))
 
 
+@pytest.mark.parametrize("variant", list(VARIANTS))
 @pytest.mark.parametrize("seed", [0, 1])
-def test_warp_pallas_matches_packed_sampler(seed):
+def test_warp_pallas_matches_packed_sampler(seed, variant):
     rng = np.random.default_rng(seed)
     H, W, C, D = 16, 128, 8, 3
     src = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32))
@@ -29,19 +38,41 @@ def test_warp_pallas_matches_packed_sampler(seed):
     py[0] = np.clip(py[0], 0, H - 1.01)
 
     got = np.asarray(
-        warp_pallas(src, jnp.asarray(px), jnp.asarray(py), interpret=True)
+        VARIANTS[variant](src, jnp.asarray(px), jnp.asarray(py), interpret=True)
     )
     want = reference(src, px, py)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-def test_warp_pallas_wide_image():
+@pytest.mark.parametrize("variant", list(VARIANTS))
+def test_warp_pallas_wide_image(variant):
     rng = np.random.default_rng(2)
     H, W, C, D = 8, 256, 4, 2
     src = jnp.asarray(rng.standard_normal((H, W, C)).astype(np.float32))
     # force cross-window gathers: coordinates jump across the 128-lane seam
     px = rng.uniform(0, W - 1.01, (D, H, W)).astype(np.float32)
     py = rng.uniform(0, H - 1.01, (D, H, W)).astype(np.float32)
-    got = np.asarray(warp_pallas(src, jnp.asarray(px), jnp.asarray(py), interpret=True))
+    got = np.asarray(
+        VARIANTS[variant](src, jnp.asarray(px), jnp.asarray(py), interpret=True)
+    )
     want = reference(src, px, py)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["v2", "v3", "v4"])
+def test_warp_pallas_channels_first_and_coherent(variant):
+    """Channels-first input + realistic coherent plane-sweep coords (small
+    per-row spans — the fast path the anchored-band variants optimize)."""
+    rng = np.random.default_rng(3)
+    H, W, C, D = 24, 128, 8, 4
+    src = jnp.asarray(rng.standard_normal((C, H, W)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32), np.arange(W, dtype=np.float32),
+                         indexing="ij")
+    px = np.stack([xs * (1 + 0.01 * d) + 3.7 * d for d in range(D)])
+    py = np.stack([ys * (1 + 0.005 * d) + 0.9 * d for d in range(D)])
+    got = np.asarray(
+        VARIANTS[variant](src, jnp.asarray(px), jnp.asarray(py), interpret=True,
+                          channels_first=True)
+    )
+    want = reference(np.moveaxis(np.asarray(src), 0, -1), px, py)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -126,3 +126,30 @@ def test_temperature_schedule():
     assert abs(temperature_schedule(2) - 10 ** -0.5) < 1e-9
     assert temperature_schedule(5) == 0.01
     assert temperature_schedule(30) == 0.01
+
+
+def test_train_step_bf16_loss_parity():
+    """TrainConfig(compute_dtype="bf16") runs the conv/volume path in bf16
+    with fp32 master params; the loss stays within bf16 tolerance of the
+    fp32 step and params still update (VERDICT r1 #8 guard)."""
+    params = init_cds_mvsnet(jax.random.PRNGKey(0), MODEL_CFG)
+    batch = to_device(synthetic_batch(**SMALL, seed=2))
+
+    losses = {}
+    states = {}
+    for mode in ("fp32", "bf16"):
+        cfg = TrainConfig(compute_dtype=mode)
+        state, (tx, sched) = init_train_state(params, cfg)
+        step = make_train_step(MODEL_CFG, cfg, tx, sched, donate=False)
+        new_state, metrics = step(state, batch, jnp.float32(1.0))
+        losses[mode] = float(metrics["loss"])
+        states[mode] = new_state
+
+    assert np.isfinite(losses["bf16"])
+    np.testing.assert_allclose(losses["bf16"], losses["fp32"], rtol=0.05)
+    # params remain fp32 master copies and actually moved
+    after = flatten_params(states["bf16"].params)
+    assert all(v.dtype == np.float32 for v in after.values())
+    before = flatten_params(params)
+    moved = [k for k in before if not np.allclose(before[k], after[k])]
+    assert len(moved) > 100
