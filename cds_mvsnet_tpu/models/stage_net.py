@@ -97,9 +97,9 @@ def stage_net(
     use_pallas = (
         s2d_eval and not train and B == 1 and gt_depth is None
         and jax.default_backend() in ("tpu", "axon")  # Mosaic needs real TPU
-        # the kernel's per-band row loop scales with 4C sublanes; measured
-        # crossover: XLA gathers win at C=32 (stage1), Pallas at C<=16
-        and n_ch <= 16
+        # every stage runs the W-minor path; inside it the warp routes to the
+        # Pallas kernel (C<=8) or the XLA packed gather + W-minor transpose
+        # (C>=16) per the measured crossover (tools/bench_warp.py)
     )
     if use_pallas:
         return _stage_net_pallas(
@@ -196,6 +196,7 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
     transpose feeds the s2d cost regularization.
     """
     from ..ops.geometry import plane_sweep_coords
+    from ..ops.grid_sample import pack_2x2, sample_packed_2x2
     from ..ops.pallas.warp import warp_pallas_padded
     from .cost_reg import cost_reg_net_s2d
 
@@ -203,9 +204,10 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
     D = depth_values.shape[1]
     ref_cam = cams[:, 0]
     if channels_first:
-        h, w = features[0]["ref"][0].shape[2:4]
+        n_ch, h, w = features[0]["ref"][0].shape[1:4]
     else:
         h, w = features[0]["ref"][0].shape[1:3]
+        n_ch = features[0]["ref"][0].shape[-1]
 
     volume_sum = 0.0
     vis_sum = 0.0
@@ -214,10 +216,24 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         ref_feat, ref_nc_sum, ref_nc = features[v - 1]["ref"]
         src_feat, src_nc_sum, _ = features[v - 1]["src"]
         px, py = plane_sweep_coords(ref_cam, cams[:, v], depth_values, h, w)
-        warped = warp_pallas_padded(
-            src_feat[0], px[0].reshape(D, h, w), py[0].reshape(D, h, w),
-            channels_first=channels_first,
-        )  # (C, D, h, w)
+        # Measured routing (tools/bench_warp.py, v5e): the Pallas banded
+        # kernel wins for C<=8 (stage3: 44ms vs 130ms XLA per view); at C=16
+        # (stage2) the XLA packed gather is faster (53ms vs 84ms) as long as
+        # its output is transposed to the W-minor layout the rest of the
+        # stage runs in (the transpose fuses into the gather's output write).
+        if n_ch <= 8:
+            warped = warp_pallas_padded(
+                src_feat[0], px[0].reshape(D, h, w), py[0].reshape(D, h, w),
+                channels_first=channels_first, variant="v3", ky=8,
+            )  # (C, D, h, w)
+        else:
+            src_nhwc = (
+                jnp.moveaxis(src_feat, 1, -1) if channels_first else src_feat
+            )  # (1, h, w, C)
+            flat = sample_packed_2x2(
+                pack_2x2(src_nhwc), src_nhwc.shape, px.reshape(1, -1), py.reshape(1, -1)
+            )  # (1, D·h·w, C)
+            warped = jnp.moveaxis(flat.reshape(D, h, w, n_ch), -1, 0)  # (C, D, h, w)
         ref_t = ref_feat[0] if channels_first else jnp.moveaxis(ref_feat[0], -1, 0)
         # multiply-reduce instead of dot_general: the C contraction is tiny
         # and W-minor elementwise+reduce fuses without relayout

@@ -178,15 +178,27 @@ def synthetic_batch(
 def _world_texture(p: np.ndarray) -> np.ndarray:
     """Smooth view-consistent RGB texture of world points ``(..., 3)``.
 
-    Sum of incommensurate sinusoids at two frequency octaves — bandlimited
-    (bilinear-resampling-friendly) but locally discriminative, so photometric
-    matching has gradient everywhere.
+    Sum of incommensurate sinusoids over three frequency octaves. The top
+    octave's wavelength (~6-9 world units) is a few pixel footprints at the
+    scene's depth (~1.6 units/px at z=600), so a 3x3 matching window sees
+    real gradient — with only long-wavelength content the plane-sweep cost is
+    flat over many depth intervals and the regressed depth drifts ~4 σ.
     """
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    r = 0.5 + 0.22 * np.sin(0.055 * x) * np.cos(0.065 * y) + 0.18 * np.sin(0.021 * (x + y) + 0.013 * z)
-    g = 0.5 + 0.22 * np.cos(0.047 * x + 0.031 * z) * np.sin(0.059 * y) + 0.18 * np.cos(0.017 * (x - y))
-    b = 0.5 + 0.22 * np.sin(0.037 * x + 0.043 * y) + 0.18 * np.sin(0.027 * y - 0.019 * z)
-    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 1.0).astype(np.float32)
+    rng = np.random.default_rng(7)
+    chans = []
+    for c in range(3):
+        v = np.full(x.shape, 0.5)
+        # 3 octaves x 3 random orientations each; top octave ~6-9 units
+        for octave, amp in ((0.05, 0.16), (0.22, 0.12), (0.85, 0.10)):
+            for _ in range(3):
+                d = rng.normal(size=3)
+                d = d / np.linalg.norm(d) * octave * rng.uniform(0.7, 1.3)
+                v = v + amp / np.sqrt(3) * np.sin(
+                    d[0] * x + d[1] * y + d[2] * z + rng.uniform(0, 6.28)
+                )
+        chans.append(v)
+    return np.clip(np.stack(chans, axis=-1), 0.0, 1.0).astype(np.float32)
 
 
 def sphere_scene(

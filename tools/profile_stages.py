@@ -49,7 +49,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--skip-prefix", action="store_true", help="components only")
+    ap.add_argument("--prefix-only", action="store_true", help="cascade prefixes only")
+    ap.add_argument("--marginals", action="store_true", help="prefix x views matrix")
     args = ap.parse_args()
+
+    if args.marginals:
+        marginals()
+        return
 
     from cds_mvsnet_tpu.config import ModelConfig
     from cds_mvsnet_tpu.models import layers
@@ -103,6 +109,10 @@ def main():
             results[f"prefix{n}"] = timed(fwd_for(cfg), fwd_args, args.reps, f"prefix {n} stages")
         results["stage2_marginal"] = results["prefix2"] - results["prefix1"]
         results["stage3_marginal"] = results["prefix3"] - results["prefix2"]
+
+    if args.prefix_only:
+        print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
+        return
 
     # ---- components ----
     from cds_mvsnet_tpu.models.cds_mvsnet import pairwise_epipoles
@@ -180,6 +190,63 @@ def main():
         )
 
     print(json.dumps({k: round(v * 1e3, 2) for k, v in results.items()}))
+
+
+
+
+def marginals():
+    """Prefix x views matrix: separates each stage's per-source-view cost
+    (warp + sim/vis) from its fixed cost (cost reg + regression).
+
+    stage_k per-view = [(pk - pk-1)(V5) - (pk - pk-1)(V2)] / 3
+    stage_k fixed    = (pk - pk-1)(V2) - per-view
+    Run: python tools/profile_stages.py --marginals
+    """
+    from cds_mvsnet_tpu.config import ModelConfig
+    from cds_mvsnet_tpu.models import layers
+    from cds_mvsnet_tpu.models.cds_mvsnet import apply_cds_mvsnet
+    from cds_mvsnet_tpu.models.convert import convert_checkpoint
+    from cds_mvsnet_tpu.utils.synthetic import textured_plane_batch
+
+    layers.set_default_precision(jax.lax.Precision.DEFAULT)
+    cdtype = jnp.bfloat16
+    params = convert_checkpoint("/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth")
+    params.pop("refine_network", None)
+    params = jax.device_put(params)
+
+    prefixes = {
+        1: ModelConfig(refine=False, ndepths=(48,), depth_intervals_ratio=(4.0,),
+                       cr_base_chs=(8,), stage_scales=(4.0,)),
+        2: ModelConfig(refine=False, ndepths=(48, 32), depth_intervals_ratio=(4.0, 2.0),
+                       cr_base_chs=(8, 8), stage_scales=(4.0, 2.0)),
+        3: ModelConfig(refine=False),
+    }
+    res = {}
+    for nv in (2, 5):
+        batch = jax.tree.map(
+            jnp.asarray, textured_plane_batch(V=nv, H=H, W=W, D=D, refine=False)
+        )
+        batch.pop("gt_plane_depth", None)
+        fargs = (batch["imgs"], batch["proj_matrices"], batch["depth_values"])
+        for n, cfg in prefixes.items():
+            @jax.jit
+            def f(imgs, proj, dv, cfg=cfg):
+                out, _ = apply_cds_mvsnet(
+                    params, cfg, imgs, proj, dv, temperature=0.01, train=False,
+                    compute_dtype=cdtype, feature_impl="s2d",
+                )
+                return out["refined_depth"]
+
+            res[f"p{n}V{nv}"] = timed(f, fargs, 5, f"prefix{n} V={nv}")
+
+    out = {k: round(v * 1e3, 1) for k, v in res.items()}
+    for k in (2, 3):
+        m5 = res[f"p{k}V5"] - res[f"p{k-1}V5"]
+        m2 = res[f"p{k}V2"] - res[f"p{k-1}V2"]
+        per_view = (m5 - m2) / 3
+        out[f"stage{k}_per_src_view_ms"] = round(per_view * 1e3, 1)
+        out[f"stage{k}_fixed_ms"] = round((m2 - per_view) * 1e3, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
