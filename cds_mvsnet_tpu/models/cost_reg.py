@@ -73,6 +73,7 @@ def cost_reg_net_s2d(
     x: jnp.ndarray,
     b: int = 4,
     last_layer: bool = True,
+    cfirst: bool = False,
 ) -> jnp.ndarray:
     """Eval CostRegNet on an (h,w)-space-to-depth volume representation.
 
@@ -81,15 +82,30 @@ def cost_reg_net_s2d(
     volumes keeps channels at b²·C >= 128 with exact numerics (ops/s2d.py).
 
     Args:
-      x: plain volume ``(B, D, h, w, C)``; converted internally.
+      x: plain volume ``(B, D, h, w, C)``; converted internally — or, with
+        ``cfirst``, a W-minor ``(C, D, h, w)`` volume (the warp path's native
+        layout) transposed straight to the s2d form in ONE lane-efficient
+        relayout, never materializing the C-minor NDHWC intermediate.
     Returns:
       ``(B, D, h, w, 1)``.
     """
     from ..ops.s2d import depth_to_space, s2d_conv3d, s2d_deconv3d_2x, space_to_depth
 
-    B, D, h, w, C = x.shape
+    if cfirst:
+        C, D, h, w = x.shape
+        B = 1
+
+    else:
+        B, D, h, w, C = x.shape
 
     def to_s2d(v, blk):
+        if cfirst:
+            # (C, D, h, w) -> (1, D, h/b, w/b, (by, bx, C)): same channel
+            # order as space_to_depth, minor dims lane-wide on both sides
+            xr = v.reshape(C, D, h // blk, blk, w // blk, blk)
+            return jnp.transpose(xr, (1, 2, 4, 3, 5, 0)).reshape(
+                1, D, h // blk, w // blk, blk * blk * C
+            )
         Bv, Dv, hv, wv, Cv = v.shape
         return space_to_depth(v.reshape(Bv * Dv, hv, wv, Cv), blk).reshape(
             Bv, Dv, hv // blk, wv // blk, -1

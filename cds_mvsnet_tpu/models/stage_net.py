@@ -209,6 +209,12 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         h, w = features[0]["ref"][0].shape[1:3]
         n_ch = features[0]["ref"][0].shape[-1]
 
+    # CDS_ABLATE (profiling only): "nowarp<k>" zeroes stage-k's warp,
+    # "novis<k>" short-circuits its sim/entropy/vis head — used to attribute
+    # in-model stage cost under identical relay conditions (tools/ablate.py).
+    import os as _os
+
+    _ablate = _os.environ.get("CDS_ABLATE", "")
     volume_sum = 0.0
     vis_sum = 0.0
     nc_sum = 0.0
@@ -234,29 +240,33 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 pack_2x2(src_nhwc), src_nhwc.shape, px.reshape(1, -1), py.reshape(1, -1)
             )  # (1, D·h·w, C)
             warped = jnp.moveaxis(flat.reshape(D, h, w, n_ch), -1, 0)  # (C, D, h, w)
+        if f"nowarp{stage_idx + 1}" in _ablate:
+            warped = jnp.zeros_like(warped) + src_feat[0].mean() * 0.01
         ref_t = ref_feat[0] if channels_first else jnp.moveaxis(ref_feat[0], -1, 0)
-        # multiply-reduce instead of dot_general: the C contraction is tiny
-        # and W-minor elementwise+reduce fuses without relayout
-        sim = jnp.sum(
-            warped.astype(jnp.float32) * ref_t[:, None].astype(jnp.float32), axis=0
-        )[None]
-        entropy = softmax_entropy(sim, axis=1)[:, 0]  # (1, h, w)
-        vis = _vis_head_s2d(
-            vis_params[str(stage_idx)], entropy.astype(ref_nc.dtype), ref_nc
-        )  # (1, h, w)
+        if f"novis{stage_idx + 1}" in _ablate:
+            vis = jnp.ones((1, h, w), ref_nc.dtype) * 0.9
+        else:
+            # multiply-reduce instead of dot_general: the C contraction is
+            # tiny and W-minor elementwise+reduce fuses without relayout
+            sim = jnp.sum(
+                warped.astype(jnp.float32) * ref_t[:, None].astype(jnp.float32), axis=0
+            )[None]
+            entropy = softmax_entropy(sim, axis=1)[:, 0]  # (1, h, w)
+            vis = _vis_head_s2d(
+                vis_params[str(stage_idx)], entropy.astype(ref_nc.dtype), ref_nc
+            )  # (1, h, w)
         volume_sum = volume_sum + ref_t[:, None] * warped * vis[0][None, None]
         vis_sum = vis_sum + vis
         nc_sum = nc_sum + (ref_nc_sum + src_nc_sum) / 2
 
     volume_mean = volume_sum / (vis_sum[0][None, None] + 1e-6)  # (C, D, h, w)
     nc_mean = nc_sum / (V - 1)
-    volume_nhwc = jnp.moveaxis(volume_mean, 0, -1)[None]  # (1, D, h, w, C)
     if cost_dtype is not None:
         # cost-volume regularization is the most quantization-sensitive part
         # of the cascade (its logits drive the soft-argmin); s2d removed the
         # lane-padding tax, so running it above bf16 costs only bandwidth
-        volume_nhwc = volume_nhwc.astype(cost_dtype)
-    cost = cost_reg_net_s2d(cost_reg_params, volume_nhwc, b=4)[..., 0]
+        volume_mean = volume_mean.astype(cost_dtype)
+    cost = cost_reg_net_s2d(cost_reg_params, volume_mean, b=4, cfirst=True)[..., 0]
     prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
     depth = depth_regression(prob, depth_values.astype(jnp.float32))
     conf = confidence_regression(prob)

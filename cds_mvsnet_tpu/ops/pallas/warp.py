@@ -427,7 +427,8 @@ def warp_pallas_v4(
     )(px.astype(jnp.float32), py.astype(jnp.float32), packed)
 
 
-def _warp_kernel_v3(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, C, ky, tr, dtype):
+def _warp_kernel_v3(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, C, ky, tr, dtype,
+                    gather16=False):
     """v3 grid step: v1's tile-anchored window DMA, but each output row is
     resolved with ONE batched lane-gather of the flattened (ky·4C, 128) band
     + a ky-row mask-reduce (vs v1's ky separate masked gathers per row), and
@@ -481,16 +482,24 @@ def _warp_kernel_v3(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, 
             )
             copy.start()
             copy.wait()
-            flat = band[...].reshape(ky * fourC, KX).astype(jnp.float32)
+            # gather16: run the crossbar in 16-bit (bf16 values, int16 idx):
+            # half the gather volume. Exact — the masked sum selects exactly
+            # one gathered value per lane, so no low-precision accumulation.
+            if gather16:
+                flat = band[...].reshape(ky * fourC, KX)
+                idt = jnp.int16
+            else:
+                flat = band[...].reshape(ky * fourC, KX).astype(jnp.float32)
+                idt = jnp.int32
             yl = by - ys  # (TR, 128)
             out = list(accs)
             for orow in range(tr):
-                xl = jnp.clip(bx[orow] - xs, 0, KX - 1).reshape(1, 128)
-                idx = jnp.broadcast_to(xl, (ky * fourC, 128)).astype(jnp.int32)
+                xl = jnp.clip(bx[orow] - xs, 0, KX - 1).reshape(1, 128).astype(idt)
+                idx = jnp.broadcast_to(xl, (ky * fourC, 128))
                 g = jnp.take_along_axis(flat, idx, axis=1).reshape(ky, fourC, KX)
-                sel = (in_win[orow].reshape(1, 128) & (yl[orow].reshape(1, 128) == riota)
-                       ).astype(jnp.float32)  # (ky, 128)
-                out[orow] = out[orow] + jnp.sum(g * sel[:, None, :], axis=0)
+                sel = (in_win[orow].reshape(1, 128) & (yl[orow].reshape(1, 128) == riota))
+                g32 = jnp.where(sel[:, None, :], g, 0).astype(jnp.float32)
+                out[orow] = out[orow] + jnp.sum(g32, axis=0)
             return tuple(out)
 
         return jax.lax.cond(jnp.any(in_win), hit, lambda _: accs, None)
@@ -606,6 +615,7 @@ def warp_pallas_v3(
     tr: int = TR,
     interpret: bool = False,
     channels_first: bool = False,
+    gather16: bool | None = None,
 ) -> jnp.ndarray:
     """Tile-anchored-band warp with batched per-row gathers; same contract as
     :func:`warp_pallas`. ``tr`` output rows per tile (bigger tiles amortize
@@ -624,8 +634,14 @@ def warp_pallas_v3(
         packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
     dtype = src_feat.dtype
 
+    if gather16 is None:
+        # bf16 gathers would halve crossbar volume, but Mosaic rejects them:
+        # int16 indices widen to i32 in lowering and dynamic_gather requires
+        # matching idx/result bitwidths ("Not implemented"). Opt-in only.
+        gather16 = False
     kernel = functools.partial(
-        _warp_kernel_v3, H=H, W=W, Hpad=Hp, C=C, ky=ky, tr=tr, dtype=dtype
+        _warp_kernel_v3, H=H, W=W, Hpad=Hp, C=C, ky=ky, tr=tr, dtype=dtype,
+        gather16=gather16,
     )
     return pl.pallas_call(
         kernel,

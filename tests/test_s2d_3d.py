@@ -46,6 +46,10 @@ def test_cost_reg_net_s2d_matches_plain():
     got = cost_reg_net_s2d(p, x, b=4)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
 
+    # channels-first entry (the warp path's W-minor layout): same numbers
+    got_cf = cost_reg_net_s2d(p, jnp.moveaxis(x[0], -1, 0), b=4, cfirst=True)
+    np.testing.assert_allclose(np.asarray(got_cf), np.asarray(got), rtol=1e-6, atol=1e-6)
+
 
 @pytest.mark.parametrize("b", [1, 2, 4])
 def test_s2d_deconv3d_matches_plain(b):

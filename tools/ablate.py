@@ -1,0 +1,82 @@
+"""In-model component attribution by ablation, all in ONE process so the
+relay's drifting throughput cancels out (absolute ms vary run to run; the
+DELTAS between configs are the signal).
+
+CDS_ABLATE knobs (stage_net eval path): nowarp<k> zeroes stage-k's warp;
+novis<k> short-circuits its sim/entropy/vis chain.
+Run: python tools/ablate.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/cds_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+H, W, V, D = 864, 1152, 5, 192
+
+CONFIGS = ["", "nowarp3", "novis3", "nowarp3,novis3", "nowarp2", "novis2",
+           "nowarp2,nowarp3,novis2,novis3"]
+
+
+def main():
+    from cds_mvsnet_tpu.config import ModelConfig
+    from cds_mvsnet_tpu.models import layers
+    from cds_mvsnet_tpu.models.convert import convert_checkpoint
+    from cds_mvsnet_tpu.utils.synthetic import textured_plane_batch
+
+    layers.set_default_precision(jax.lax.Precision.DEFAULT)
+    params = convert_checkpoint("/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth")
+    params.pop("refine_network", None)
+    params = jax.device_put(params)
+    cfg = ModelConfig(refine=False)
+
+    batch = jax.tree.map(jnp.asarray, textured_plane_batch(V=V, H=H, W=W, D=D, refine=False))
+    batch.pop("gt_plane_depth", None)
+    fargs = (batch["imgs"], batch["proj_matrices"], batch["depth_values"])
+
+    res = {}
+    for ab in CONFIGS:
+        os.environ["CDS_ABLATE"] = ab
+
+        # fresh import-time capture happens at trace: define a new jit per config
+        def fwd(imgs, proj, dv):
+            from cds_mvsnet_tpu.models.cds_mvsnet import apply_cds_mvsnet
+
+            out, _ = apply_cds_mvsnet(
+                params, cfg, imgs, proj, dv, temperature=0.01, train=False,
+                compute_dtype=jnp.bfloat16, feature_impl="s2d",
+            )
+            return out["refined_depth"]
+
+        jf = jax.jit(fwd)
+        out = jf(*fargs)
+        np.asarray(jax.device_get(out.ravel()[0]))
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            out = jf(*fargs)
+            np.asarray(jax.device_get(out.ravel()[0]))
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times)) * 1e3
+        name = ab or "baseline"
+        res[name] = round(dt, 1)
+        print(f"{name:32s} {dt:9.1f} ms", flush=True)
+
+    base = res["baseline"]
+    deltas = {f"delta_{k}": round(base - v, 1) for k, v in res.items() if k != "baseline"}
+    print(json.dumps({**res, **deltas}))
+
+
+if __name__ == "__main__":
+    main()
