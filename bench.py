@@ -29,7 +29,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 A100_PYTORCH_MAPS_PER_SEC = 4.0
 
-H, W, V, D = 864, 1152, 5, 192
+# BENCH_CONFIG=default: the BASELINE.json metric point (1152x864, no refine,
+# reference test.py defaults). BENCH_CONFIG=protocol: the published DTU
+# protocol point (1152x1536 WITH refinement, scripts/dtu_eval.sh) — the
+# configuration that produces the 0.315 mm table.
+if os.environ.get("BENCH_CONFIG", "default") == "protocol":
+    H, W, V, D, REFINE = 1152, 1536, 5, 192, True
+else:
+    H, W, V, D, REFINE = 864, 1152, 5, 192, False
 WARMUP = 2
 ITERS = 8
 
@@ -50,13 +57,14 @@ def main():
         jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
     )
 
-    cfg = ModelConfig(refine=False)
+    cfg = ModelConfig(refine=REFINE)
     ckpt = "/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth"
     if os.path.exists(ckpt):
         from cds_mvsnet_tpu.models.convert import convert_checkpoint
 
         params = convert_checkpoint(ckpt)
-        params.pop("refine_network", None)
+        if not REFINE:
+            params.pop("refine_network", None)
     else:
         params = init_cds_mvsnet(jax.random.PRNGKey(0), cfg)
     params = jax.device_put(params)
@@ -68,9 +76,9 @@ def main():
     from cds_mvsnet_tpu.utils.synthetic import textured_plane_batch
 
     batch = jax.tree.map(
-        jnp.asarray, textured_plane_batch(V=V, H=H, W=W, D=D, refine=False)
+        jnp.asarray, textured_plane_batch(V=V, H=H, W=W, D=D, refine=REFINE)
     )
-    batch.pop("gt_plane_depth", None)
+    gt_depth = float(np.asarray(batch.pop("gt_plane_depth")))  # constant-z plane
 
     @jax.jit
     def forward(params, imgs, proj, depth_values):
@@ -99,13 +107,22 @@ def main():
     dt = float(np.median(times))
 
     maps_per_sec = 1.0 / dt
+
+    # Quality guard on the same run: the fixture has exact closed-form GT, so
+    # every bench also checks the fast path's numerics (bf16 reference level
+    # on this scene: ~3.8 mm median; fp32 golden: 3.61 mm).
+    depth = np.asarray(jax.device_get(forward(*args)[0]))[0]
+    med_err = float(np.median(np.abs(depth - gt_depth)))
+
     print(
         json.dumps(
             {
-                "metric": f"DTU depth maps/sec/chip at {W}x{H}, {V} views, {D} depths",
+                "metric": f"DTU depth maps/sec/chip at {W}x{H}, {V} views, {D} depths"
+                + (" (protocol: refine on)" if REFINE else ""),
                 "value": round(maps_per_sec, 4),
                 "unit": "maps/sec/chip",
                 "vs_baseline": round(maps_per_sec / A100_PYTORCH_MAPS_PER_SEC, 4),
+                "median_depth_err_mm": round(med_err, 3),
             }
         )
     )

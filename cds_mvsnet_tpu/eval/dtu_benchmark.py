@@ -41,21 +41,65 @@ __all__ = [
 DTU_EVAL_SETS = [1, 4, 9, 10, 11, 12, 13, 15, 23, 24, 29, 32, 33, 34, 48, 49, 62, 75, 77, 110, 114, 118]
 
 
-def reduce_points(pts: np.ndarray, dst: float = 0.2, seed: int = 0) -> np.ndarray:
-    """Stochastic min-distance reduction (reducePts_haa.m): visit points in
-    random order; keep a point iff no previously-kept point lies within dst.
+def reduce_points(
+    pts: np.ndarray, dst: float = 0.2, seed: int = 0, chunk: int = 500_000
+) -> np.ndarray:
+    """Stochastic min-distance reduction with reducePts_haa.m's exact
+    semantics: visit points in random order; a point survives iff no
+    earlier-visited SURVIVOR lies within Euclidean ``dst`` of it.
 
-    Implemented by snapping to a dst-sized voxel grid and keeping the first
-    visited point per voxel after a random permutation — equivalent density
-    control at identical asymptotics, O(N) instead of KD-range-searches.
+    Vectorized equivalent of the MATLAB greedy: process the visit order in
+    chunks; each chunk first drops points within dst of an already-confirmed
+    survivor (one KD query), then resolves the within-chunk greedy by a
+    blocked-by-earlier-undecided fixed point over ``query_pairs`` (each round
+    confirms points with no earlier undecided neighbor and kills points
+    blocked by a newly-confirmed survivor; chain depth is short because disk
+    graphs have bounded local rank chains).
     """
+    pts = np.asarray(pts, np.float64)
     n = len(pts)
+    if n == 0:
+        return pts
     order = np.random.default_rng(seed).permutation(n)
-    cells = np.floor(pts[order] / dst).astype(np.int64)
-    # unique with "first occurrence in visit order"
-    _, first_idx = np.unique(cells, axis=0, return_index=True)
-    keep = order[np.sort(first_idx)]
-    return pts[np.sort(keep)]
+    pts_o = pts[order]
+    surv_chunks: list[np.ndarray] = []  # survivor coordinates, in rank order
+    surv_orig: list[np.ndarray] = []  # original indices of survivors
+    for a in range(0, n, chunk):
+        cand = np.arange(a, min(a + chunk, n))
+        if surv_chunks:
+            tree = cKDTree(np.concatenate(surv_chunks))
+            d, _ = tree.query(pts_o[cand], k=1, distance_upper_bound=dst)
+            cand = cand[d > dst]  # query returns inf when nothing within dst
+        if len(cand) == 0:
+            continue
+        sub = pts_o[cand]
+        pairs = cKDTree(sub).query_pairs(dst, output_type="ndarray")
+        alive = np.ones(len(cand), dtype=bool)
+        if len(pairs):
+            # pairs are (i < j) in visit-rank order: i blocks j
+            undecided = np.ones(len(cand), dtype=bool)
+            pi, pj = pairs[:, 0], pairs[:, 1]
+            while undecided.any():
+                blocked = np.zeros(len(cand), dtype=bool)
+                blocked[pj[undecided[pi]]] = True
+                # confirm points not blocked by any earlier undecided point
+                newly = undecided & ~blocked
+                if not newly.any():  # cycles impossible (i < j); safety only
+                    break
+                undecided &= ~newly
+                # kill undecided points within dst of a newly-confirmed one
+                dead = pj[newly[pi] & undecided[pj]]
+                alive[dead] = False
+                undecided[dead] = False
+                # drop settled pairs: only undecided-target pairs with a
+                # still-alive blocker can influence later rounds
+                m = undecided[pj] & alive[pi]
+                pi, pj = pi[m], pj[m]
+        keep = cand[alive]
+        surv_chunks.append(pts_o[keep])
+        surv_orig.append(order[keep])
+    kept = np.sort(np.concatenate(surv_orig))
+    return pts[kept]
 
 
 def nn_distances(q_from: np.ndarray, q_to: np.ndarray, max_dist: float = 60.0) -> np.ndarray:

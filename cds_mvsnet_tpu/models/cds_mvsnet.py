@@ -161,7 +161,21 @@ def apply_cds_mvsnet(
         )
 
     n_stack = stacked.shape[0]
-    if feature_chunk is None or feature_chunk >= n_stack or train:
+    import os as _os
+
+    if "nofeat" in _os.environ.get("CDS_ABLATE", ""):
+        # CDS_ABLATE profiling knob (tools/ablate.py): replace the feature
+        # pyramid with broadcast scalars of the right shapes/dtypes so the
+        # whole FeatureNet DCEs out of the compiled program.
+        shapes = jax.eval_shape(run_features, stacked, epis)
+        scal = stacked.mean() * 0.01
+        feats_all = {
+            s: tuple(
+                jnp.broadcast_to(scal.astype(t.dtype), t.shape) for t in ts
+            )
+            for s, ts in shapes.items()
+        }
+    elif feature_chunk is None or feature_chunk >= n_stack or train:
         feats_all = run_features(stacked, epis)
     else:
         parts = [

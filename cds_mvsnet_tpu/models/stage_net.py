@@ -222,15 +222,39 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         ref_feat, ref_nc_sum, ref_nc = features[v - 1]["ref"]
         src_feat, src_nc_sum, _ = features[v - 1]["src"]
         px, py = plane_sweep_coords(ref_cam, cams[:, v], depth_values, h, w)
-        # Measured routing (tools/bench_warp.py, v5e): the Pallas banded
-        # kernel wins for C<=8 (stage3: 44ms vs 130ms XLA per view); at C=16
-        # (stage2) the XLA packed gather is faster (53ms vs 84ms) as long as
-        # its output is transposed to the W-minor layout the rest of the
-        # stage runs in (the transpose fuses into the gather's output write).
-        if n_ch <= 8:
+        if f"nocoords{stage_idx + 1}" in _ablate:
+            # profiling knob: replace projective coords with a cheap ramp of
+            # the same coherence, isolating coordinate-math cost
+            lin = jax.lax.broadcasted_iota(jnp.float32, (1, D * h * w), 1)
+            px = (lin % w) + depth_values.mean() * 1e-12
+            py = (lin // w) % h
+        # Measured routing (tools/bench_warp.py microbench + tools/ablate.py
+        # IN-MODEL route A/B, v5e): with bf16 features every stage runs the
+        # v6 bit-packed kernel — in-model it beats the XLA packed gather even
+        # at C=16/32 where the standalone microbench says otherwise, because
+        # v6 emits the W-minor layout directly while the XLA route pays a
+        # real (C, D, h, w) transpose that the microbench's sum-consumer
+        # elided (stage2: -42.6 ms/map, stage1: -5.5, stage3 v6ky8 vs v3:
+        # -12). fp32 features (parity evals) fall back to v3 at C<=8 / XLA
+        # otherwise. CDS_WARP_ROUTE overrides per stage for in-model A/B,
+        # e.g. "2:v6ky16,3:xla" (profiling only).
+        bf16 = src_feat.dtype == jnp.bfloat16
+        route = dict(
+            item.split(":") for item in _os.environ.get("CDS_WARP_ROUTE", "").split(",")
+            if ":" in item
+        ).get(str(stage_idx + 1))
+        use_kernel = (bf16 or n_ch <= 8) if route is None else route != "xla"
+        if use_kernel:
+            if route not in (None, "xla"):
+                variant, ky = route.split("ky") if "ky" in route else (route, "8")
+                ky = int(ky)
+            elif bf16:
+                variant, ky = "v6", (8 if n_ch <= 8 else 16)
+            else:
+                variant, ky = "v3", 8
             warped = warp_pallas_padded(
                 src_feat[0], px[0].reshape(D, h, w), py[0].reshape(D, h, w),
-                channels_first=channels_first, variant="v3", ky=8,
+                channels_first=channels_first, variant=variant, ky=ky,
             )  # (C, D, h, w)
         else:
             src_nhwc = (
@@ -266,7 +290,13 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         # of the cascade (its logits drive the soft-argmin); s2d removed the
         # lane-padding tax, so running it above bf16 costs only bandwidth
         volume_mean = volume_mean.astype(cost_dtype)
-    cost = cost_reg_net_s2d(cost_reg_params, volume_mean, b=4, cfirst=True)[..., 0]
+    if f"nocost{stage_idx + 1}" in _ablate:
+        h_s, w_s = volume_mean.shape[2], volume_mean.shape[3]
+        cost = jnp.broadcast_to(
+            jnp.mean(volume_mean).astype(jnp.float32), (1, D, h_s, w_s)
+        )
+    else:
+        cost = cost_reg_net_s2d(cost_reg_params, volume_mean, b=4, cfirst=True)[..., 0]
     prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
     depth = depth_regression(prob, depth_values.astype(jnp.float32))
     conf = confidence_regression(prob)

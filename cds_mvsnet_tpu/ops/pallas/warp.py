@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["warp_pallas", "warp_pallas_v2", "warp_pallas_v3", "warp_pallas_v4", "pack_src_for_warp"]
+__all__ = ["warp_pallas", "warp_pallas_v2", "warp_pallas_v3", "warp_pallas_v4",
+           "warp_pallas_v5", "warp_pallas_v6", "pack_src_for_warp", "pack_src_words"]
 
 KY = 16  # source band rows per window
 KX = 128  # source band lanes per window (= gather range)
@@ -531,6 +532,325 @@ def _warp_kernel_v3(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, 
         out_ref[:, 0, orow, :] = out.astype(dtype)
 
 
+def pack_src_words(src: jnp.ndarray, channels_first: bool = False) -> jnp.ndarray:
+    """source -> (H, C, W) int32 with lane x holding the bf16 bit-pair
+    (src[y, x], src[y, x+1]): word = (bits(v0) << 16) | bits(v1).
+
+    A bf16 value's fp32 bits are exactly its own bits shifted left 16, so the
+    kernel unpacks corners with two bitcasts and zero conversions. Halves
+    both DMA volume and crossbar gather rows vs the 2x2 fp32 packing.
+    """
+    if not channels_first:
+        src = jnp.moveaxis(src, -1, 0)  # (C, H, W)
+    src = src.astype(jnp.bfloat16)
+    bits = jax.lax.bitcast_convert_type(src, jnp.uint16).astype(jnp.uint32)
+    right = jnp.pad(bits[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+    word = (bits << 16) | right  # (C, H, W)
+    return jnp.transpose(word, (1, 0, 2)).astype(jnp.int32)  # (H, C, W)
+
+
+def _warp_kernel_v6(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, C,
+                    ky, tr, dtype):
+    """v6 grid step: x-pair bit-packed band (int32 words of two bf16 values),
+    y-bilinear folded into the window mask-reduce as fp32 weights. Gather
+    rows per output row = (ky+1)·C — ~3.6x less than v3's ky·4C — and the
+    band DMA moves half the bytes. Numerics: bf16 corners lifted to fp32 by
+    exact bitcast; the lerp is staged (y then x) in fp32, matching the packed
+    sampler within ~1 ulp (vs its flat 4-term weighted sum)."""
+    fourC = 4 * C  # noqa: F841 (kept for parity with sibling kernels' docs)
+    px = px_ref[0].astype(jnp.float32)  # (TR, 128)
+    py = py_ref[0].astype(jnp.float32)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    dx = x0 - bx
+
+    # x-corner validity (y-validity folds into the row weights below)
+    vx0 = ((x0 >= 0) & (x0 < W)).astype(jnp.float32) * (1 - tx)
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < W)).astype(jnp.float32) * tx
+    wy0 = ((y0 >= 0) & (y0 < H)).astype(jnp.float32) * (1 - ty)
+    wy1 = ((y0 + 1 >= 0) & (y0 + 1 < H)).astype(jnp.float32) * ty
+
+    ymin = jnp.min(by)
+    n_y = (jnp.max(by) - ymin) // ky + 1
+    xwin_lo = jnp.min(bx) // KX
+    n_x = jnp.max(bx) // KX - xwin_lo + 1
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ky + 1, 128), 0)
+    zero = jnp.zeros((C, 128), jnp.float32)
+    acc0 = tuple((zero, zero) for _ in range(tr))
+
+    def body(widx, accs):
+        jy = widx // n_x
+        jx = xwin_lo + widx % n_x
+        ys = jnp.minimum(ymin + jy * ky, Hpad - (ky + 1))
+        xs = jx * KX
+        in_win = ((by - ymin) // ky == jy) & (bx // KX == jx)  # (TR,128)
+
+        def hit(_):
+            copy = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
+            )
+            copy.start()
+            copy.wait()
+            flat = band[...].reshape((ky + 1) * C, KX)  # int32 words
+            out = list(accs)
+            for orow in range(tr):
+                iw = in_win[orow].reshape(1, 128)
+                xl = jnp.clip(bx[orow] - xs, 0, KX - 1).reshape(1, 128)
+                idx = jnp.broadcast_to(xl, ((ky + 1) * C, 128)).astype(jnp.int32)
+                g = jnp.take_along_axis(flat, idx, axis=1).reshape(ky + 1, C, KX)
+                # exact bf16 -> fp32 by bit placement: v0 = high half, v1 = low
+                g0 = jax.lax.bitcast_convert_type(
+                    g & jnp.int32(-65536), jnp.float32
+                )
+                g1 = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+                yl0 = (y0[orow] - ys).reshape(1, 128)
+                w_r = (
+                    jnp.where(yl0 == riota, wy0[orow].reshape(1, 128), 0.0)
+                    + jnp.where(yl0 + 1 == riota, wy1[orow].reshape(1, 128), 0.0)
+                ) * iw.astype(jnp.float32)  # (ky+1, 128)
+                a0, a1 = out[orow]
+                out[orow] = (
+                    a0 + jnp.sum(g0 * w_r[:, None, :], axis=0),
+                    a1 + jnp.sum(g1 * w_r[:, None, :], axis=0),
+                )
+            return tuple(out)
+
+        return jax.lax.cond(jnp.any(in_win), hit, lambda _: accs, None)
+
+    accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
+
+    for orow in range(tr):
+        a0, a1 = accs[orow]  # y-lerped slot values (C, 128)
+        s = jnp.broadcast_to(dx[orow].reshape(1, 128), (C, 128))
+        # corner x0 sits in slot dx+0, corner x0+1 in slot dx+1; invalid
+        # slots (-1 / 2) only co-occur with zero x-weights
+        cx0 = jnp.where(s == 0, a0, a1)
+        cx1 = jnp.where(s + 1 == 0, a0, a1)
+        out = cx0 * jnp.broadcast_to(vx0[orow].reshape(1, 128), (C, 128)) + \
+            cx1 * jnp.broadcast_to(vx1[orow].reshape(1, 128), (C, 128))
+        out_ref[:, 0, orow, :] = out.astype(dtype)
+
+
+def warp_pallas_v6(
+    src_feat: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    ky: int = KY,
+    tr: int = TR,
+    interpret: bool = False,
+    channels_first: bool = False,
+) -> jnp.ndarray:
+    """Bit-packed x-pair warp (v6): same contract as :func:`warp_pallas`, but
+    the source is quantized to bf16 (exact when it already is bf16)."""
+    if channels_first:
+        C, H, W = src_feat.shape
+    else:
+        H, W, C = src_feat.shape
+    D, H_out, W_out = px.shape
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    packed = pack_src_words(src_feat, channels_first=channels_first)  # (H, C, W)
+    Hp = ((H + ky - 1) // ky) * ky + 1
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v6, H=H, W=W, Hpad=Hp, C=C, ky=ky, tr=tr, dtype=dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(D, H_out // tr, W_out // 128),
+        in_specs=[
+            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, 1, tr, 128), lambda d, y, x: (0, d, y, x), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ky + 1, C, KX), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), packed)
+
+
+def _warp_kernel_v5(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, C,
+                    ky, kg, tr, dtype):
+    """v5 grid step: v3's one tall tile-anchored band DMA, but each output row
+    gathers only a ``(kg·4C, 128)`` slice of the band starting at that row's
+    own in-window y-min (dynamic leading-dim VMEM load) — an output row's
+    true source y-span is 1-2 rows on coherent plane-sweep geometry, so this
+    cuts the crossbar gather volume by ~ky/kg vs v3. Rows whose in-window
+    lanes span more than ``kg`` band rows add a full-band fallback gather
+    (lax.cond, rare on coherent geometry) — exact for arbitrary geometry."""
+    fourC = 4 * C
+    px = px_ref[0].astype(jnp.float32)  # (TR, 128)
+    py = py_ref[0].astype(jnp.float32)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    dx = x0 - bx
+    dy = y0 - by
+
+    def wmask(ox, oy, wgt):
+        xi = x0 + ox
+        yi = y0 + oy
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        return wgt * ok.astype(jnp.float32)
+
+    w00 = wmask(0, 0, (1 - tx) * (1 - ty))
+    w01 = wmask(1, 0, tx * (1 - ty))
+    w10 = wmask(0, 1, (1 - tx) * ty)
+    w11 = wmask(1, 1, tx * ty)
+
+    ymin = jnp.min(by)
+    n_y = (jnp.max(by) - ymin) // ky + 1
+    xwin_lo = jnp.min(bx) // KX
+    n_x = jnp.max(bx) // KX - xwin_lo + 1
+
+    riota_g = jax.lax.broadcasted_iota(jnp.int32, (kg, 128), 0)
+    riota_f = jax.lax.broadcasted_iota(jnp.int32, (ky, 128), 0)
+    zero = jnp.zeros((fourC, 128), jnp.float32)
+    acc0 = tuple(zero for _ in range(tr))
+
+    def body(widx, accs):
+        jy = widx // n_x
+        jx = xwin_lo + widx % n_x
+        ys = jnp.minimum(ymin + jy * ky, Hpad - ky)
+        xs = jx * KX
+        in_win = ((by - ymin) // ky == jy) & (bx // KX == jx)  # (TR,128)
+
+        def hit(_):
+            copy = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(ys, ky), :, pl.ds(xs, KX)], band, sem
+            )
+            copy.start()
+            copy.wait()
+            yl = by - ys  # (TR, 128); in-window lanes fall in [0, ky)
+            out = list(accs)
+            for orow in range(tr):
+                in_w = in_win[orow].reshape(1, 128)
+                yl_r = yl[orow].reshape(1, 128)
+                xl = jnp.clip(bx[orow] - xs, 0, KX - 1).reshape(1, 128)
+                ylo = jnp.clip(jnp.min(jnp.where(in_w, yl_r, ky - 1)), 0, ky - kg)
+                flat = band[pl.ds(ylo, kg)].reshape(kg * fourC, KX).astype(jnp.float32)
+                idx = jnp.broadcast_to(xl, (kg * fourC, 128)).astype(jnp.int32)
+                g = jnp.take_along_axis(flat, idx, axis=1).reshape(kg, fourC, KX)
+                sel = in_w & ((yl_r - ylo) == riota_g)  # (kg, 128)
+                g32 = jnp.where(sel[:, None, :], g, 0).astype(jnp.float32)
+                acc = out[orow] + jnp.sum(g32, axis=0)
+
+                resid = in_w & ((yl_r < ylo) | (yl_r >= ylo + kg))
+
+                def slow(_, xl=xl, yl_r=yl_r, resid=resid, acc=acc):
+                    flat_f = band[...].reshape(ky * fourC, KX).astype(jnp.float32)
+                    idx_f = jnp.broadcast_to(xl, (ky * fourC, 128)).astype(jnp.int32)
+                    gf = jnp.take_along_axis(flat_f, idx_f, axis=1).reshape(ky, fourC, KX)
+                    sel_f = resid & (yl_r == riota_f)
+                    return acc + jnp.sum(
+                        jnp.where(sel_f[:, None, :], gf, 0).astype(jnp.float32), axis=0
+                    )
+
+                out[orow] = jax.lax.cond(jnp.any(resid), slow, lambda _, acc=acc: acc, None)
+            return tuple(out)
+
+        return jax.lax.cond(jnp.any(in_win), hit, lambda _: accs, None)
+
+    accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
+
+    for orow in range(tr):
+        acc = accs[orow]
+        c00, c01, c10, c11 = (acc[k * C : (k + 1) * C] for k in range(4))
+        pxs = jnp.broadcast_to(dx[orow].reshape(1, 128), (C, 128))
+        pys = jnp.broadcast_to(dy[orow].reshape(1, 128), (C, 128))
+
+        def corner_val(ox, oy):
+            use_left = (pxs + ox) == 0
+            use_top = (pys + oy) == 0
+            vx0 = jnp.where(use_top, c00, c10)
+            vx1 = jnp.where(use_top, c01, c11)
+            return jnp.where(use_left, vx0, vx1)
+
+        def bc(wrow):
+            return jnp.broadcast_to(wrow[orow].reshape(1, 128), (C, 128))
+
+        out = (
+            corner_val(0, 0) * bc(w00)
+            + corner_val(1, 0) * bc(w01)
+            + corner_val(0, 1) * bc(w10)
+            + corner_val(1, 1) * bc(w11)
+        )
+        out_ref[:, 0, orow, :] = out.astype(dtype)
+
+
+def warp_pallas_v5(
+    src_feat: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    ky: int = KY,
+    kg: int = 2,
+    tr: int = TR,
+    interpret: bool = False,
+    channels_first: bool = False,
+) -> jnp.ndarray:
+    """Sliced-band warp: v3's tall band + one DMA per window, per-output-row
+    ``kg``-row dynamic slice gathers. Same contract as :func:`warp_pallas`."""
+    if channels_first:
+        C, H, W = src_feat.shape
+    else:
+        H, W, C = src_feat.shape
+    D, H_out, W_out = px.shape
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    packed = pack_src_for_warp(src_feat, channels_first=channels_first)
+    Hp = ((H + ky - 1) // ky) * ky
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v5, H=H, W=W, Hpad=Hp, C=C, ky=ky, kg=kg, tr=tr, dtype=dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(D, H_out // tr, W_out // 128),
+        in_specs=[
+            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, 1, tr, 128), lambda d, y, x: (0, d, y, x), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ky, 4 * C, KX), dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), packed)
+
+
 def warp_pallas_v2(
     src_feat: jnp.ndarray,  # (H, W, C) or (C, H, W) with channels_first
     px: jnp.ndarray,  # (D, H, W) fp32 source-pixel x coords
@@ -599,9 +919,9 @@ def warp_pallas_padded(
         py = jnp.pad(py, pad, constant_values=-1e6)
     variant = variant or os.environ.get("WARP_VARIANT", "v1")
     fn = {"v1": warp_pallas, "v2": warp_pallas_v2, "v3": warp_pallas_v3,
-          "v4": warp_pallas_v4}[variant]
+          "v4": warp_pallas_v4, "v5": warp_pallas_v5, "v6": warp_pallas_v6}[variant]
     kwargs = {} if (variant == "v1" or ky is None) else {"ky": ky}
-    if variant == "v3" and tr is not None:
+    if variant in ("v3", "v5", "v6") and tr is not None:
         kwargs["tr"] = tr
     out = fn(src_feat, px, py, interpret=interpret, channels_first=channels_first, **kwargs)
     return out[..., :W] if Wp != W else out

@@ -7,14 +7,37 @@ from cds_mvsnet_tpu.eval.dtu_benchmark import nn_distances, reduce_points, evalu
 from cds_mvsnet_tpu.io.ply import write_ply
 
 
+def _greedy_reference(pts, dst, seed):
+    """Brute-force reducePts_haa.m: survivor iff no earlier survivor within
+    dst, visiting in the seeded random order."""
+    order = np.random.default_rng(seed).permutation(len(pts))
+    kept = []
+    for i in order:
+        p = pts[i]
+        if all(np.linalg.norm(p - pts[j]) > dst for j in kept):
+            kept.append(i)
+    return pts[np.sort(kept)]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("chunk", [64, 10_000])  # force cross-chunk paths
+def test_reduce_points_matches_greedy_reference(seed, chunk):
+    rng = np.random.default_rng(7 + seed)
+    pts = rng.uniform(0, 1.0, (900, 3))
+    got = reduce_points(pts, dst=0.2, seed=seed, chunk=chunk)
+    want = _greedy_reference(pts, dst=0.2, seed=seed)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_reduce_points_enforces_density():
     rng = np.random.default_rng(0)
     pts = rng.uniform(0, 1.0, (5000, 3))
     red = reduce_points(pts, dst=0.2)
     assert len(red) < len(pts)
-    # voxel-grid reduction: at most one point per 0.2-cell
-    cells = np.floor(red / 0.2).astype(int)
-    assert len(np.unique(cells, axis=0)) == len(red)
+    # exact reducePts semantics: min pairwise distance > dst
+    from scipy.spatial import cKDTree
+
+    assert len(cKDTree(red).query_pairs(0.2)) == 0
 
 
 def test_nn_distances_exact():

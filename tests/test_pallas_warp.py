@@ -11,10 +11,11 @@ from cds_mvsnet_tpu.ops.pallas.warp import (
     warp_pallas_v2,
     warp_pallas_v3,
     warp_pallas_v4,
+    warp_pallas_v5,
 )
 
 VARIANTS = {"v1": warp_pallas, "v2": warp_pallas_v2, "v3": warp_pallas_v3,
-            "v4": warp_pallas_v4}
+            "v4": warp_pallas_v4, "v5": warp_pallas_v5}
 
 
 def reference(src, px, py):
@@ -59,7 +60,7 @@ def test_warp_pallas_wide_image(variant):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("variant", ["v2", "v3", "v4"])
+@pytest.mark.parametrize("variant", ["v2", "v3", "v4", "v5"])
 def test_warp_pallas_channels_first_and_coherent(variant):
     """Channels-first input + realistic coherent plane-sweep coords (small
     per-row spans — the fast path the anchored-band variants optimize)."""
@@ -76,3 +77,41 @@ def test_warp_pallas_channels_first_and_coherent(variant):
     )
     want = reference(np.moveaxis(np.asarray(src), 0, -1), px, py)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_pallas_v6_matches_on_bf16_source():
+    """v6 bit-packs bf16 x-pairs: exact vs the packed sampler run on the
+    bf16-quantized source (fp32 staged-lerp differences ~1 ulp)."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v6
+
+    rng = np.random.default_rng(4)
+    H, W, C, D = 16, 128, 8, 3
+    src32 = rng.standard_normal((H, W, C)).astype(np.float32)
+    srcq = np.asarray(jnp.asarray(src32).astype(jnp.bfloat16).astype(jnp.float32))
+    px = rng.uniform(-5, W + 5, (D, H, W)).astype(np.float32)
+    py = rng.uniform(-5, H + 5, (D, H, W)).astype(np.float32)
+
+    got = np.asarray(
+        warp_pallas_v6(jnp.asarray(srcq), jnp.asarray(px), jnp.asarray(py), interpret=True)
+    )
+    want = reference(srcq, px, py)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_pallas_v6_channels_first_coherent_bf16():
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v6
+
+    rng = np.random.default_rng(5)
+    H, W, C, D = 24, 128, 8, 4
+    src = jnp.asarray(rng.standard_normal((C, H, W)), jnp.bfloat16)
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32), np.arange(W, dtype=np.float32),
+                         indexing="ij")
+    px = np.stack([xs * (1 + 0.01 * d) + 3.7 * d for d in range(D)])
+    py = np.stack([ys * (1 + 0.005 * d) + 0.9 * d for d in range(D)])
+    got = np.asarray(
+        warp_pallas_v6(src, jnp.asarray(px), jnp.asarray(py), interpret=True,
+                       channels_first=True).astype(jnp.float32)
+    )
+    srcq = np.asarray(jnp.moveaxis(src, 0, -1).astype(jnp.float32))
+    want = reference(srcq, px, py)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

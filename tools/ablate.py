@@ -25,8 +25,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 H, W, V, D = 864, 1152, 5, 192
 
-CONFIGS = ["", "nowarp3", "novis3", "nowarp3,novis3", "nowarp2", "novis2",
-           "nowarp2,nowarp3,novis2,novis3"]
+# entries: either an CDS_ABLATE string or ("ablate", "route") with route
+# setting CDS_WARP_ROUTE (in-model warp-variant A/B)
+CONFIGS = [
+    "",
+    ("", "1:v6ky16"),
+    ("", "2:v6ky16"),
+    ("", "1:v6ky16,2:v6ky16"),
+    ("", "2:v3ky16"),
+]
 
 
 def main():
@@ -46,8 +53,10 @@ def main():
     fargs = (batch["imgs"], batch["proj_matrices"], batch["depth_values"])
 
     res = {}
-    for ab in CONFIGS:
+    for entry in CONFIGS:
+        ab, route = entry if isinstance(entry, tuple) else (entry, "")
         os.environ["CDS_ABLATE"] = ab
+        os.environ["CDS_WARP_ROUTE"] = route
 
         # fresh import-time capture happens at trace: define a new jit per config
         def fwd(imgs, proj, dv):
@@ -69,7 +78,7 @@ def main():
             np.asarray(jax.device_get(out.ravel()[0]))
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times)) * 1e3
-        name = ab or "baseline"
+        name = (ab + ("|" + route if route else "")) or "baseline"
         res[name] = round(dt, 1)
         print(f"{name:32s} {dt:9.1f} ms", flush=True)
 

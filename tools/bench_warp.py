@@ -79,12 +79,10 @@ def main():
             "v1": functools.partial(warp_pallas_padded, variant="v1", channels_first=True),
             "v3ky8": functools.partial(warp_pallas_padded, variant="v3", ky=8, channels_first=True),
             "v3ky16": functools.partial(warp_pallas_padded, variant="v3", ky=16, channels_first=True),
-            "v3tr16ky16": functools.partial(warp_pallas_padded, variant="v3", ky=16, tr=16, channels_first=True),
-            "v3tr16ky24": functools.partial(warp_pallas_padded, variant="v3", ky=24, tr=16, channels_first=True),
-            "v3tr24ky32": functools.partial(warp_pallas_padded, variant="v3", ky=32, tr=24, channels_first=True),
+            "v6ky8": functools.partial(warp_pallas_padded, variant="v6", ky=8, channels_first=True),
+            "v6ky16": functools.partial(warp_pallas_padded, variant="v6", ky=16, channels_first=True),
+            "v6ky12": functools.partial(warp_pallas_padded, variant="v6", ky=12, channels_first=True),
         }
-        if h % 24 != 0:
-            variants.pop("v3tr24ky32")
         # reduce to one scalar INSIDE the jit: a single relay dispatch per
         # measurement, no big-output relayout/transfer distortion
         for vname, fn in variants.items():
