@@ -244,6 +244,44 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
             if ":" in item
         ).get(str(stage_idx + 1))
         use_kernel = (bf16 or n_ch <= 8) if route is None else route != "xla"
+        ref_t = ref_feat[0] if channels_first else jnp.moveaxis(ref_feat[0], -1, 0)
+        # v6s fuses in_prod = ref⊙warped and sim into the warp kernel — the
+        # separate full-volume fp32 sim pass (~8 ms/view, tools/bench_vis.py)
+        # and the outside ref multiply disappear. Ablation knobs and route
+        # overrides keep the unfused path so their DCE semantics stay valid.
+        fused = (
+            use_kernel and bf16 and route is None
+            and not any(
+                f"{k}{stage_idx + 1}" in _ablate for k in ("nowarp", "novis", "nocoords")
+            )
+        )
+        if fused:
+            from ..ops.pallas.warp import warp_pallas_v6s
+
+            ky = 8 if n_ch <= 8 else 16
+            Wp = ((w + 127) // 128) * 128
+            px_k = px[0].reshape(D, h, w)
+            py_k = py[0].reshape(D, h, w)
+            ref_k = ref_t
+            if Wp != w:
+                pad = ((0, 0), (0, 0), (0, Wp - w))
+                px_k = jnp.pad(px_k, pad, constant_values=-1e6)
+                py_k = jnp.pad(py_k, pad, constant_values=-1e6)
+                ref_k = jnp.pad(ref_t, ((0, 0), (0, 0), (0, Wp - w)))
+            in_prod, sim_k = warp_pallas_v6s(
+                src_feat[0], ref_k, px_k, py_k, ky=ky
+            )
+            if Wp != w:
+                in_prod = in_prod[..., :w]
+                sim_k = sim_k[..., :w]
+            entropy = softmax_entropy(sim_k[None], axis=1)[:, 0]  # (1, h, w)
+            vis = _vis_head_s2d(
+                vis_params[str(stage_idx)], entropy.astype(ref_nc.dtype), ref_nc
+            )  # (1, h, w)
+            volume_sum = volume_sum + in_prod * vis[0][None, None]
+            vis_sum = vis_sum + vis
+            nc_sum = nc_sum + (ref_nc_sum + src_nc_sum) / 2
+            continue
         if use_kernel:
             if route not in (None, "xla"):
                 variant, ky = route.split("ky") if "ky" in route else (route, "8")
@@ -266,7 +304,6 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
             warped = jnp.moveaxis(flat.reshape(D, h, w, n_ch), -1, 0)  # (C, D, h, w)
         if f"nowarp{stage_idx + 1}" in _ablate:
             warped = jnp.zeros_like(warped) + src_feat[0].mean() * 0.01
-        ref_t = ref_feat[0] if channels_first else jnp.moveaxis(ref_feat[0], -1, 0)
         if f"novis{stage_idx + 1}" in _ablate:
             vis = jnp.ones((1, h, w), ref_nc.dtype) * 0.9
         else:

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["warp_pallas", "warp_pallas_v2", "warp_pallas_v3", "warp_pallas_v4",
-           "warp_pallas_v5", "warp_pallas_v6", "pack_src_for_warp", "pack_src_words"]
+           "warp_pallas_v5", "warp_pallas_v6", "warp_pallas_v7", "pack_src_for_warp", "pack_src_words"]
 
 KY = 16  # source band rows per window
 KX = 128  # source band lanes per window (= gather range)
@@ -640,6 +640,150 @@ def _warp_kernel_v6(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, 
         out_ref[:, 0, orow, :] = out.astype(dtype)
 
 
+def _warp_kernel_v6s(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref, band, sem,
+                     *, H, W, Hpad, C, ky, tr, dtype):
+    """v6s grid step: v6's gather + two fused outputs — ``in_prod = ref ⊙
+    warped`` (bf16, the value the cost-volume accumulates) and ``sim = Σ_C
+    fp32(warped)·fp32(ref)`` (the similarity the entropy/vis chain consumes).
+    Saves the separate full-volume sim pass and the ref multiply outside;
+    numerics identical to computing them from the v6 output."""
+    fourC = 4 * C  # noqa: F841
+    px = px_ref[0].astype(jnp.float32)
+    py = py_ref[0].astype(jnp.float32)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    dx = x0 - bx
+
+    vx0 = ((x0 >= 0) & (x0 < W)).astype(jnp.float32) * (1 - tx)
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < W)).astype(jnp.float32) * tx
+    wy0 = ((y0 >= 0) & (y0 < H)).astype(jnp.float32) * (1 - ty)
+    wy1 = ((y0 + 1 >= 0) & (y0 + 1 < H)).astype(jnp.float32) * ty
+
+    ymin = jnp.min(by)
+    n_y = (jnp.max(by) - ymin) // ky + 1
+    xwin_lo = jnp.min(bx) // KX
+    n_x = jnp.max(bx) // KX - xwin_lo + 1
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ky + 1, 128), 0)
+    zero = jnp.zeros((C, 128), jnp.float32)
+    acc0 = tuple((zero, zero) for _ in range(tr))
+
+    def body(widx, accs):
+        jy = widx // n_x
+        jx = xwin_lo + widx % n_x
+        ys = jnp.minimum(ymin + jy * ky, Hpad - (ky + 1))
+        xs = jx * KX
+        in_win = ((by - ymin) // ky == jy) & (bx // KX == jx)
+
+        def hit(_):
+            copy = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
+            )
+            copy.start()
+            copy.wait()
+            flat = band[...].reshape((ky + 1) * C, KX)
+            out = list(accs)
+            for orow in range(tr):
+                iw = in_win[orow].reshape(1, 128)
+                xl = jnp.clip(bx[orow] - xs, 0, KX - 1).reshape(1, 128)
+                idx = jnp.broadcast_to(xl, ((ky + 1) * C, 128)).astype(jnp.int32)
+                g = jnp.take_along_axis(flat, idx, axis=1).reshape(ky + 1, C, KX)
+                g0 = jax.lax.bitcast_convert_type(g & jnp.int32(-65536), jnp.float32)
+                g1 = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+                yl0 = (y0[orow] - ys).reshape(1, 128)
+                w_r = (
+                    jnp.where(yl0 == riota, wy0[orow].reshape(1, 128), 0.0)
+                    + jnp.where(yl0 + 1 == riota, wy1[orow].reshape(1, 128), 0.0)
+                ) * iw.astype(jnp.float32)
+                a0, a1 = out[orow]
+                out[orow] = (
+                    a0 + jnp.sum(g0 * w_r[:, None, :], axis=0),
+                    a1 + jnp.sum(g1 * w_r[:, None, :], axis=0),
+                )
+            return tuple(out)
+
+        return jax.lax.cond(jnp.any(in_win), hit, lambda _: accs, None)
+
+    accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
+
+    for orow in range(tr):
+        a0, a1 = accs[orow]
+        s = jnp.broadcast_to(dx[orow].reshape(1, 128), (C, 128))
+        cx0 = jnp.where(s == 0, a0, a1)
+        cx1 = jnp.where(s + 1 == 0, a0, a1)
+        warped = cx0 * jnp.broadcast_to(vx0[orow].reshape(1, 128), (C, 128)) + \
+            cx1 * jnp.broadcast_to(vx1[orow].reshape(1, 128), (C, 128))
+        warped_bf = warped.astype(dtype)
+        ref_row = ref_ref[:, orow, :]  # (C, 128) bf16
+        out_ref[:, 0, orow, :] = ref_row * warped_bf  # bf16 product (in_prod)
+        # unrolled C-reduction: Mosaic rejects vector.multi_reduction over a
+        # sublane dim with non-zero layout offsets ("shape_invariant_numerics"
+        # constraint); C slice-adds lower cleanly
+        prod = warped_bf.astype(jnp.float32) * ref_row.astype(jnp.float32)
+        acc_sim = prod[0:1]
+        for c in range(1, C):
+            acc_sim = acc_sim + prod[c : c + 1]
+        sim_ref[0, orow, :] = acc_sim[0]
+
+
+def warp_pallas_v6s(
+    src_feat: jnp.ndarray,  # (C, H, W) channels-first (source view)
+    ref_feat: jnp.ndarray,  # (C, H_out, W_out) channels-first (reference view)
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    ky: int = 8,
+    tr: int = TR,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused warp + cost: returns (in_prod ``(C, D, H_out, W_out)`` bf16-ish,
+    sim ``(D, H_out, W_out)`` fp32). Same bf16-quantizing contract as v6."""
+    C, H, W = src_feat.shape
+    D, H_out, W_out = px.shape
+    assert ref_feat.shape == (C, H_out, W_out), (ref_feat.shape, (C, H_out, W_out))
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    packed = pack_src_words(src_feat, channels_first=True)
+    Hp = ((H + ky - 1) // ky) * ky + 1
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v6s, H=H, W=W, Hpad=Hp, C=C, ky=ky, tr=tr, dtype=dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(D, H_out // tr, W_out // 128),
+        in_specs=[
+            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tr, 128), lambda d, y, x: (0, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, 1, tr, 128), lambda d, y, x: (0, d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+            jax.ShapeDtypeStruct((D, H_out, W_out), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ky + 1, C, KX), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), ref_feat, packed)
+
+
 def warp_pallas_v6(
     src_feat: jnp.ndarray,
     px: jnp.ndarray,
@@ -681,6 +825,159 @@ def warp_pallas_v6(
         out_shape=jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
         scratch_shapes=[
             pltpu.VMEM((ky + 1, C, KX), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), packed)
+
+
+def _warp_kernel_v7(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, Wpad,
+                    C, ky, tr, nseg, dtype):
+    """v7 grid step: one (depth, tr output rows, FULL output width) tile.
+
+    The band DMA fetches (ky+1) full-width source rows in ONE transfer, so a
+    small ky (per-row source spans are 1-2 rows; a tr=4 tile spans ~5-6) no
+    longer costs per-row DMA issues, and x never enters the DMA at all. Each
+    output row x 128-lane segment gathers from a dynamically-chosen but
+    provably 128-aligned lane slice of the band (Mosaic accepts traced
+    offsets that are multiples of 128 — tools/probe_lane_slice.py), sweeping
+    extra x-slices only when a segment's source span exceeds 128 (slope > 1
+    or incoherent geometry). Same bf16 x-pair bit-packing as v6."""
+    px = px_ref[0].astype(jnp.float32)  # (tr, Wout)
+    py = py_ref[0].astype(jnp.float32)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    dx = x0 - bx
+
+    vx0 = ((x0 >= 0) & (x0 < W)).astype(jnp.float32) * (1 - tx)
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < W)).astype(jnp.float32) * tx
+    wy0 = ((y0 >= 0) & (y0 < H)).astype(jnp.float32) * (1 - ty)
+    wy1 = ((y0 + 1 >= 0) & (y0 + 1 < H)).astype(jnp.float32) * ty
+
+    ymin = jnp.min(by)
+    n_y = (jnp.max(by) - ymin) // ky + 1
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ky + 1, 128), 0)
+    zero = jnp.zeros((C, 128), jnp.float32)
+    accs0 = tuple((zero, zero) for _ in range(tr * nseg))
+
+    def ybody(jy, accs):
+        ys = jnp.minimum(ymin + jy * ky, Hpad - (ky + 1))
+        in_y = (by - ymin) // ky == jy  # (tr, Wout)
+
+        def hit(_):
+            copy = pltpu.make_async_copy(
+                src_hbm.at[pl.ds(ys, ky + 1), :, :], band, sem
+            )
+            copy.start()
+            copy.wait()
+            out = list(accs)
+            for r in range(tr):
+                for s in range(nseg):
+                    sl = slice(s * 128, (s + 1) * 128)
+                    iy = in_y[r, sl].reshape(1, 128)
+                    bx_rs = bx[r, sl].reshape(1, 128)
+                    yl0 = (y0[r, sl] - ys).reshape(1, 128)
+                    w0 = wy0[r, sl].reshape(1, 128)
+                    w1 = wy1[r, sl].reshape(1, 128)
+                    xlo = jnp.min(jnp.where(iy, bx_rs, W - 2)) // 128
+                    n_x = jnp.max(jnp.where(iy, bx_rs, 0)) // 128 - xlo + 1
+
+                    def xbody(k, acc, iy=iy, bx_rs=bx_rs, yl0=yl0, w0=w0, w1=w1,
+                              xlo=xlo):
+                        xs = (xlo + k) * 128
+                        in_w = iy & (bx_rs // 128 == xlo + k)
+
+                        def ghit(_):
+                            seg = band[:, :, pl.ds(xs, 128)]  # (ky+1, C, 128)
+                            flat = seg.reshape((ky + 1) * C, 128)
+                            xl = jnp.clip(bx_rs - xs, 0, 127)
+                            idx = jnp.broadcast_to(xl, ((ky + 1) * C, 128)).astype(jnp.int32)
+                            g = jnp.take_along_axis(flat, idx, axis=1).reshape(ky + 1, C, 128)
+                            g0 = jax.lax.bitcast_convert_type(g & jnp.int32(-65536), jnp.float32)
+                            g1 = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+                            w_r = (
+                                jnp.where(yl0 == riota, w0, 0.0)
+                                + jnp.where(yl0 + 1 == riota, w1, 0.0)
+                            ) * in_w.astype(jnp.float32)
+                            a0, a1 = acc
+                            return (
+                                a0 + jnp.sum(g0 * w_r[:, None, :], axis=0),
+                                a1 + jnp.sum(g1 * w_r[:, None, :], axis=0),
+                            )
+
+                        return jax.lax.cond(jnp.any(in_w), ghit, lambda _: acc, None)
+
+                    out[r * nseg + s] = jax.lax.fori_loop(0, n_x, xbody, out[r * nseg + s])
+            return tuple(out)
+
+        return jax.lax.cond(jnp.any(in_y), hit, lambda _: accs, None)
+
+    accs = jax.lax.fori_loop(0, n_y, ybody, accs0)
+
+    for r in range(tr):
+        for s in range(nseg):
+            sl = slice(s * 128, (s + 1) * 128)
+            a0, a1 = accs[r * nseg + s]
+            sshift = jnp.broadcast_to(dx[r, sl].reshape(1, 128), (C, 128))
+            cx0 = jnp.where(sshift == 0, a0, a1)
+            cx1 = jnp.where(sshift + 1 == 0, a0, a1)
+            out = cx0 * jnp.broadcast_to(vx0[r, sl].reshape(1, 128), (C, 128)) + \
+                cx1 * jnp.broadcast_to(vx1[r, sl].reshape(1, 128), (C, 128))
+            out_ref[:, 0, r, sl] = out.astype(dtype)
+
+
+def warp_pallas_v7(
+    src_feat: jnp.ndarray,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    ky: int = 8,
+    tr: int = 4,
+    interpret: bool = False,
+    channels_first: bool = False,
+) -> jnp.ndarray:
+    """Wide-band warp (v7): same bf16-quantizing contract as
+    :func:`warp_pallas_v6`."""
+    if channels_first:
+        C, H, W = src_feat.shape
+    else:
+        H, W, C = src_feat.shape
+    D, H_out, W_out = px.shape
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    nseg = W_out // 128
+    packed = pack_src_words(src_feat, channels_first=channels_first)  # (H, C, W)
+    Hp = ((H + ky - 1) // ky) * ky + 1
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v7, H=H, W=W, Hpad=Hp, Wpad=Wp, C=C, ky=ky, tr=tr,
+        nseg=nseg, dtype=dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(D, H_out // tr),
+        in_specs=[
+            pl.BlockSpec((1, tr, W_out), lambda d, y: (d, y, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, W_out), lambda d, y: (d, y, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (C, 1, tr, W_out), lambda d, y: (0, d, y, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ky + 1, C, Wp), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -919,9 +1216,10 @@ def warp_pallas_padded(
         py = jnp.pad(py, pad, constant_values=-1e6)
     variant = variant or os.environ.get("WARP_VARIANT", "v1")
     fn = {"v1": warp_pallas, "v2": warp_pallas_v2, "v3": warp_pallas_v3,
-          "v4": warp_pallas_v4, "v5": warp_pallas_v5, "v6": warp_pallas_v6}[variant]
+          "v4": warp_pallas_v4, "v5": warp_pallas_v5, "v6": warp_pallas_v6,
+          "v7": warp_pallas_v7}[variant]
     kwargs = {} if (variant == "v1" or ky is None) else {"ky": ky}
-    if variant in ("v3", "v5", "v6") and tr is not None:
+    if variant in ("v3", "v5", "v6", "v7") and tr is not None:
         kwargs["tr"] = tr
     out = fn(src_feat, px, py, interpret=interpret, channels_first=channels_first, **kwargs)
     return out[..., :W] if Wp != W else out

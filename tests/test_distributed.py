@@ -81,3 +81,48 @@ def test_two_process_data_mesh(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{pid} failed:\n{out[-3000:]}"
         assert f"proc{pid} ok" in out
+
+
+def test_sharded_eval_matches_per_view():
+    """View-list sharding over the 8-device CPU mesh (SURVEY §2.3 fleet
+    parallelism): batched sharded forward == per-view single-device forward,
+    including a non-multiple batch (padding path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cds_mvsnet_tpu.config import ModelConfig
+    from cds_mvsnet_tpu.models.cds_mvsnet import apply_cds_mvsnet, init_cds_mvsnet
+    from cds_mvsnet_tpu.parallel.eval_sharding import make_sharded_eval
+    from cds_mvsnet_tpu.parallel.mesh import data_mesh
+    from cds_mvsnet_tpu.utils.synthetic import textured_plane_batch
+
+    cfg = ModelConfig(refine=False)
+    params = init_cds_mvsnet(jax.random.PRNGKey(0), cfg)
+
+    # 5 distinct "reference view" problems (non-multiple of 8 -> padding)
+    batches = [
+        textured_plane_batch(V=3, H=64, W=96, D=16, seed=s, plane_depth=550.0 + 20 * s)
+        for s in range(5)
+    ]
+    imgs = jnp.concatenate([jnp.asarray(b["imgs"]) for b in batches])
+    proj = {
+        k: jnp.concatenate([jnp.asarray(b["proj_matrices"][k]) for b in batches])
+        for k in batches[0]["proj_matrices"]
+    }
+    dv = jnp.concatenate([jnp.asarray(b["depth_values"]) for b in batches])
+
+    mesh = data_mesh(8)
+    run = make_sharded_eval(mesh, params, cfg)
+    depth, conf = run(imgs, proj, dv)
+    assert depth.shape[0] == 5 and conf.shape[0] == 5
+
+    for i in [0, 3, 4]:
+        out, _ = apply_cds_mvsnet(
+            params, cfg, imgs[i : i + 1],
+            {k: v[i : i + 1] for k, v in proj.items()}, dv[i : i + 1],
+            temperature=0.01, train=False,
+        )
+        np.testing.assert_allclose(
+            np.asarray(depth[i]), np.asarray(out["refined_depth"][0]), rtol=2e-4, atol=2e-3
+        )

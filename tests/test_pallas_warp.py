@@ -115,3 +115,71 @@ def test_warp_pallas_v6_channels_first_coherent_bf16():
     srcq = np.asarray(jnp.moveaxis(src, 0, -1).astype(jnp.float32))
     want = reference(srcq, px, py)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("trky", [(4, 8), (8, 16)])
+def test_warp_pallas_v7_matches_on_bf16_source(trky):
+    """v7 wide-band: exact vs the packed sampler on the bf16-quantized
+    source, incl. random out-of-range coords exercising the x-slice sweep."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v7
+
+    tr, ky = trky
+    rng = np.random.default_rng(6)
+    H, W, C, D = 16, 256, 8, 3
+    src32 = rng.standard_normal((H, W, C)).astype(np.float32)
+    srcq = np.asarray(jnp.asarray(src32).astype(jnp.bfloat16).astype(jnp.float32))
+    px = rng.uniform(-5, W + 5, (D, H, W)).astype(np.float32)
+    py = rng.uniform(-5, H + 5, (D, H, W)).astype(np.float32)
+
+    got = np.asarray(
+        warp_pallas_v7(jnp.asarray(srcq), jnp.asarray(px), jnp.asarray(py),
+                       ky=ky, tr=tr, interpret=True)
+    )
+    want = reference(srcq, px, py)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_pallas_v7_channels_first_coherent():
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v7
+
+    rng = np.random.default_rng(8)
+    H, W, C, D = 24, 128, 8, 4
+    src = jnp.asarray(rng.standard_normal((C, H, W)), jnp.bfloat16)
+    ys, xs = np.meshgrid(np.arange(H, dtype=np.float32), np.arange(W, dtype=np.float32),
+                         indexing="ij")
+    px = np.stack([xs * (1 + 0.01 * d) + 3.7 * d for d in range(D)])
+    py = np.stack([ys * (1 + 0.005 * d) + 0.9 * d for d in range(D)])
+    got = np.asarray(
+        warp_pallas_v7(src, jnp.asarray(px), jnp.asarray(py), interpret=True,
+                       channels_first=True).astype(jnp.float32)
+    )
+    srcq = np.asarray(jnp.moveaxis(src, 0, -1).astype(jnp.float32))
+    want = reference(srcq, px, py)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_warp_pallas_v6s_fused_outputs():
+    """v6s = v6's warp with fused in_prod/sim emission: in_prod equals
+    ref ⊙ v6-warped and sim equals the fp32 channel contraction."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v6, warp_pallas_v6s
+
+    rng = np.random.default_rng(9)
+    H, W, C, D = 16, 128, 8, 3
+    q = lambda a: np.asarray(jnp.asarray(a, jnp.float32).astype(jnp.bfloat16).astype(jnp.float32))
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    px = rng.uniform(-5, W + 5, (D, H, W)).astype(np.float32)
+    py = rng.uniform(-5, H + 5, (D, H, W)).astype(np.float32)
+
+    in_prod, sim = warp_pallas_v6s(
+        jnp.asarray(src), jnp.asarray(ref), jnp.asarray(px), jnp.asarray(py),
+        interpret=True,
+    )
+    warped = warp_pallas_v6(
+        jnp.asarray(src), jnp.asarray(px), jnp.asarray(py), interpret=True,
+        channels_first=True,
+    )
+    want_prod = np.asarray(ref)[:, None] * np.asarray(warped)
+    want_sim = np.sum(np.asarray(warped) * np.asarray(ref)[:, None], axis=0)
+    np.testing.assert_allclose(np.asarray(in_prod), want_prod, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sim), want_sim, rtol=1e-5, atol=1e-5)

@@ -29,10 +29,12 @@ H, W, V, D = 864, 1152, 5, 192
 # setting CDS_WARP_ROUTE (in-model warp-variant A/B)
 CONFIGS = [
     "",
-    ("", "1:v6ky16"),
-    ("", "2:v6ky16"),
-    ("", "1:v6ky16,2:v6ky16"),
-    ("", "2:v3ky16"),
+    "nowarp1",
+    "nowarp2",
+    "nowarp3",
+    "novis1,novis2,novis3",
+    "nocost1,nocost2,nocost3",
+    "nofeat",
 ]
 
 

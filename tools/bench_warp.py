@@ -81,7 +81,8 @@ def main():
             "v3ky16": functools.partial(warp_pallas_padded, variant="v3", ky=16, channels_first=True),
             "v6ky8": functools.partial(warp_pallas_padded, variant="v6", ky=8, channels_first=True),
             "v6ky16": functools.partial(warp_pallas_padded, variant="v6", ky=16, channels_first=True),
-            "v6ky12": functools.partial(warp_pallas_padded, variant="v6", ky=12, channels_first=True),
+            "v7tr4ky8": functools.partial(warp_pallas_padded, variant="v7", ky=8, tr=4, channels_first=True),
+            "v7tr8ky12": functools.partial(warp_pallas_padded, variant="v7", ky=12, tr=8, channels_first=True),
         }
         # reduce to one scalar INSIDE the jit: a single relay dispatch per
         # measurement, no big-output relayout/transfer distortion
