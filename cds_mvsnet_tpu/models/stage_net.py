@@ -250,7 +250,7 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         # and the outside ref multiply disappear. Ablation knobs and route
         # overrides keep the unfused path so their DCE semantics stay valid.
         fused = (
-            use_kernel and bf16 and route is None
+            use_kernel and bf16 and (route is None or route.startswith("v6s"))
             and not any(
                 f"{k}{stage_idx + 1}" in _ablate for k in ("nowarp", "novis", "nocoords")
             )
@@ -259,6 +259,8 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
             from ..ops.pallas.warp import warp_pallas_v6s
 
             ky = 8 if n_ch <= 8 else 16
+            if route is not None and route.startswith("v6sky"):
+                ky = int(route[len("v6sky"):])
             Wp = ((w + 127) // 128) * 128
             px_k = px[0].reshape(D, h, w)
             py_k = py[0].reshape(D, h, w)
