@@ -153,20 +153,40 @@ def save_depths(
     pending = []
     stage_final = f"stage{model_cfg.num_stages + (1 if model_cfg.refine else 0)}"
     writer = ThreadPoolExecutor(max_workers=2, thread_name_prefix="depth-writer")
+
+    def drain(item, idx, t0):
+        # Host transfer of view idx's outputs — runs AFTER view idx+1's
+        # forward has been dispatched, so the device computes the next map
+        # while this one crosses the wire (the remote-TPU relay adds a fixed
+        # per-transfer latency that would otherwise serialize with compute).
+        out_dev, cams, imgs, filenames = item
+        out = jax.tree.map(
+            lambda x: np.asarray(x, dtype=np.float32), jax.block_until_ready(out_dev)
+        )
+        times.append(time.perf_counter() - t0)
+        pending.append(writer.submit(write_outputs, out, cams, imgs, filenames))
+        if verbose:
+            print(f"view {idx + 1}: {times[-1]:.3f}s")
+
     try:
+        prev = None
+        prev_t0 = None
         for i, batch in enumerate(loader):
             t0 = time.perf_counter()
-            out = forward(params, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
-            out = jax.tree.map(
-                lambda x: np.asarray(x, dtype=np.float32), jax.block_until_ready(out)
+            out_dev = forward(
+                params, batch["imgs"], batch["proj_matrices"], batch["depth_values"]
             )
-            times.append(time.perf_counter() - t0)
-
-            cams = np.asarray(batch["proj_matrices"][stage_final])
-            imgs = np.asarray(batch["imgs"])
-            pending.append(writer.submit(write_outputs, out, cams, imgs, batch["filename"]))
-            if verbose:
-                print(f"view {i + 1}/{len(loader)}: {times[-1]:.3f}s")
+            if prev is not None:
+                drain(prev, i - 1, prev_t0)
+            prev = (
+                out_dev,
+                np.asarray(batch["proj_matrices"][stage_final]),
+                np.asarray(batch["imgs"]),
+                batch["filename"],
+            )
+            prev_t0 = t0
+        if prev is not None:
+            drain(prev, len(times), prev_t0)
         shapes = [f.result() for f in pending]  # surface writer errors
         if verbose and shapes:
             print(f"output res {shapes[-1]}")

@@ -29,12 +29,9 @@ H, W, V, D = 864, 1152, 5, 192
 # setting CDS_WARP_ROUTE (in-model warp-variant A/B)
 CONFIGS = [
     "",
-    "nowarp1",
-    "nowarp2",
-    "nowarp3",
-    "novis1,novis2,novis3",
-    "nocost1,nocost2,nocost3",
-    "nofeat",
+    ("", "2:v6sky12"),
+    ("", "1:v6sky12,2:v6sky12"),
+    ("", "1:v6sky12,2:v6sky12,3:v6sky6"),
 ]
 
 
