@@ -673,7 +673,7 @@ def _warp_kernel_v6s(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref, band, s
     n_x = jnp.max(bx) // KX - xwin_lo + 1
 
     riota = jax.lax.broadcasted_iota(jnp.int32, (ky + 1, 128), 0)
-    zero = jnp.zeros((C, 128), jnp.float32)
+    zero = jnp.zeros((C, 128), jnp.int32)
     acc0 = tuple((zero, zero) for _ in range(tr))
 
     def body(widx, accs):
@@ -696,17 +696,17 @@ def _warp_kernel_v6s(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref, band, s
                 xl = jnp.clip(bx[orow] - xs, 0, KX - 1).reshape(1, 128)
                 idx = jnp.broadcast_to(xl, ((ky + 1) * C, 128)).astype(jnp.int32)
                 g = jnp.take_along_axis(flat, idx, axis=1).reshape(ky + 1, C, KX)
-                g0 = jax.lax.bitcast_convert_type(g & jnp.int32(-65536), jnp.float32)
-                g1 = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+                # int-domain one-hot select: exactly one band row matches a
+                # lane's y0 (resp. y0+1) across all windows, so a masked int32
+                # sum IS the packed word at that row — the y-lerp moves to the
+                # epilogue, saving the per-window fp unpack+multiply volume
                 yl0 = (y0[orow] - ys).reshape(1, 128)
-                w_r = (
-                    jnp.where(yl0 == riota, wy0[orow].reshape(1, 128), 0.0)
-                    + jnp.where(yl0 + 1 == riota, wy1[orow].reshape(1, 128), 0.0)
-                ) * iw.astype(jnp.float32)
+                sel0 = iw & (yl0 == riota)
+                sel1 = iw & (yl0 + 1 == riota)
                 a0, a1 = out[orow]
                 out[orow] = (
-                    a0 + jnp.sum(g0 * w_r[:, None, :], axis=0),
-                    a1 + jnp.sum(g1 * w_r[:, None, :], axis=0),
+                    a0 + jnp.sum(jnp.where(sel0[:, None, :], g, 0), axis=0),
+                    a1 + jnp.sum(jnp.where(sel1[:, None, :], g, 0), axis=0),
                 )
             return tuple(out)
 
@@ -715,10 +715,18 @@ def _warp_kernel_v6s(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref, band, s
     accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
 
     for orow in range(tr):
-        a0, a1 = accs[orow]
+        a0, a1 = accs[orow]  # packed x-pair words at rows y0 / y0+1
+        b00 = jax.lax.bitcast_convert_type(a0 & jnp.int32(-65536), jnp.float32)
+        b01 = jax.lax.bitcast_convert_type(a0 << 16, jnp.float32)
+        b10 = jax.lax.bitcast_convert_type(a1 & jnp.int32(-65536), jnp.float32)
+        b11 = jax.lax.bitcast_convert_type(a1 << 16, jnp.float32)
+        w0 = jnp.broadcast_to(wy0[orow].reshape(1, 128), (C, 128))
+        w1 = jnp.broadcast_to(wy1[orow].reshape(1, 128), (C, 128))
+        p0 = b00 * w0 + b10 * w1  # y-lerped left slot
+        p1 = b01 * w0 + b11 * w1  # y-lerped right slot
         s = jnp.broadcast_to(dx[orow].reshape(1, 128), (C, 128))
-        cx0 = jnp.where(s == 0, a0, a1)
-        cx1 = jnp.where(s + 1 == 0, a0, a1)
+        cx0 = jnp.where(s == 0, p0, p1)
+        cx1 = jnp.where(s + 1 == 0, p0, p1)
         warped = cx0 * jnp.broadcast_to(vx0[orow].reshape(1, 128), (C, 128)) + \
             cx1 * jnp.broadcast_to(vx1[orow].reshape(1, 128), (C, 128))
         warped_bf = warped.astype(dtype)
