@@ -74,6 +74,7 @@ def cost_reg_net_s2d(
     b: int = 4,
     last_layer: bool = True,
     cfirst: bool = False,
+    stop_after: str | None = None,
 ) -> jnp.ndarray:
     """Eval CostRegNet on an (h,w)-space-to-depth volume representation.
 
@@ -142,17 +143,36 @@ def cost_reg_net_s2d(
         return jax.nn.relu(batch_norm(y, p[name]["bn"], train=False))
 
     del from_s2d  # (block-1 tensors ARE plain; no conversion needed)
+    # stop_after: PROFILING ONLY (tools/bench_costreg.py --levels). Returns
+    # the named intermediate so prefix deltas attribute per-level cost; the
+    # shape contract below does not hold for truncated returns.
     xs = to_s2d(x, b)
+    if stop_after == "s2d":
+        return xs
     conv0, b0 = c("conv0", xs, b)
+    if stop_after == "conv0":
+        return conv0
     y, b1 = c("conv1", conv0, b0, 2)
     conv2, _ = c("conv2", y, b1)
+    if stop_after == "conv2":
+        return conv2
     y, b2 = c("conv3", conv2, b1, 2)
     conv4, _ = c("conv4", y, b2)
+    if stop_after == "conv4":
+        return conv4
     y, b3 = c("conv5", conv4, b2, 2)
     y, _ = c("conv6", y, b3)
+    if stop_after == "conv6":
+        return y
     y = conv4 + d("conv7", y, b3, b2)
+    if stop_after == "conv7":
+        return y
     y = conv2 + d("conv9", y, b2, b1)
+    if stop_after == "conv9":
+        return y
     y = conv0 + d("conv11", y, b1, b0)
+    if stop_after == "conv11":
+        return y
     if last_layer:
         if b0 > 1:
             y = s2d_conv3d(y, p["prob"]["weight"], b_in=b0, padding=1)

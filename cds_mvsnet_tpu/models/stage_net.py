@@ -215,6 +215,70 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
     import os as _os
 
     _ablate = _os.environ.get("CDS_ABLATE", "")
+    _route = dict(
+        item.split(":") for item in _os.environ.get("CDS_WARP_ROUTE", "").split(",")
+        if ":" in item
+    ).get(str(stage_idx + 1))
+    _bf16_all = all(
+        features[v - 1]["src"][0].dtype == jnp.bfloat16 for v in range(1, V)
+    )
+    # Route "v6sb"/"v6sball": ONE kernel launch for all V-1 views (the view
+    # axis joins the grid). MEASURED SLOWER in-model than per-view launches
+    # (tools/ablate.py: batched 607-613 ms/map vs per-view 568) — kept as an
+    # explicitly-routed variant only; the per-view loop below is the default.
+    use_batched = (
+        _bf16_all and _route in ("v6sb", "v6sball") and V > 2
+        and not any(
+            f"{k}{stage_idx + 1}" in _ablate for k in ("nowarp", "novis", "nocoords")
+        )
+        and not _os.environ.get("CDS_NO_BATCH_WARP")
+    )
+    if use_batched:
+        from ..ops.pallas.warp import warp_pallas_v6s_batched
+
+        ky = 8 if n_ch <= 8 else 16
+        refs, srcs, pxs, pys = [], [], [], []
+        for v in range(1, V):
+            ref_feat = features[v - 1]["ref"][0]
+            src_feat = features[v - 1]["src"][0]
+            refs.append(ref_feat[0] if channels_first else jnp.moveaxis(ref_feat[0], -1, 0))
+            srcs.append(src_feat[0] if channels_first else jnp.moveaxis(src_feat[0], -1, 0))
+            px, py = plane_sweep_coords(ref_cam, cams[:, v], depth_values, h, w)
+            pxs.append(px[0].reshape(D, h, w))
+            pys.append(py[0].reshape(D, h, w))
+        refs, srcs = jnp.stack(refs), jnp.stack(srcs)
+        pxs, pys = jnp.stack(pxs), jnp.stack(pys)
+        Wp = ((w + 127) // 128) * 128
+        if Wp != w:
+            pad = ((0, 0), (0, 0), (0, 0), (0, Wp - w))
+            pxs = jnp.pad(pxs, pad, constant_values=-1e6)
+            pys = jnp.pad(pys, pad, constant_values=-1e6)
+            refs = jnp.pad(refs, ((0, 0), (0, 0), (0, 0), (0, Wp - w)))
+        # route "v6sb" = batched WITHOUT the DMA window cache (A/B knob);
+        # default = depth-innermost grid + cross-step window-cache DMA skip
+        in_prod, sim = warp_pallas_v6s_batched(
+            srcs, refs, pxs, pys, ky=ky, dma_cache=_route != "v6sb"
+        )
+        if Wp != w:
+            in_prod = in_prod[..., :w]
+            sim = sim[..., :w]
+        entropy = softmax_entropy(sim, axis=1)[:, 0]  # (V-1, h, w)
+        ref_nc_all = jnp.concatenate(
+            [features[v - 1]["ref"][2] for v in range(1, V)], axis=0
+        )
+        vis = _vis_head_s2d(
+            vis_params[str(stage_idx)], entropy.astype(ref_nc_all.dtype), ref_nc_all
+        )  # (V-1, h, w)
+        volume_sum = jnp.sum(in_prod * vis[:, None, None], axis=0)  # (C, D, h, w)
+        vis_sum = jnp.sum(vis, axis=0, keepdims=True)  # (1, h, w)
+        nc_sum = sum(
+            (features[v - 1]["ref"][1] + features[v - 1]["src"][1]) / 2
+            for v in range(1, V)
+        )
+        return _stage_net_pallas_tail(
+            cost_reg_params, volume_sum, vis_sum, nc_sum, depth_values, V,
+            stage_idx, cost_dtype, _ablate,
+        )
     volume_sum = 0.0
     vis_sum = 0.0
     nc_sum = 0.0
@@ -270,8 +334,12 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 px_k = jnp.pad(px_k, pad, constant_values=-1e6)
                 py_k = jnp.pad(py_k, pad, constant_values=-1e6)
                 ref_k = jnp.pad(ref_t, ((0, 0), (0, 0), (0, Wp - w)))
+            # DEFAULT route: per-view launch, depth-innermost grid + DMA
+            # window cache (in-model -3.1 ms/map vs d-outermost, exact).
+            # Route "v6s"/"v6sky<N>" = no-cache variants for A/B.
             in_prod, sim_k = warp_pallas_v6s(
-                src_feat[0], ref_k, px_k, py_k, ky=ky
+                src_feat[0], ref_k, px_k, py_k, ky=ky,
+                dma_cache=route in (None, "v6sc"),
             )
             if Wp != w:
                 in_prod = in_prod[..., :w]
@@ -322,6 +390,18 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         vis_sum = vis_sum + vis
         nc_sum = nc_sum + (ref_nc_sum + src_nc_sum) / 2
 
+    return _stage_net_pallas_tail(
+        cost_reg_params, volume_sum, vis_sum, nc_sum, depth_values, V, stage_idx,
+        cost_dtype, _ablate,
+    )
+
+
+def _stage_net_pallas_tail(cost_reg_params, volume_sum, vis_sum, nc_sum,
+                           depth_values, V, stage_idx, cost_dtype, _ablate):
+    """Shared Pallas-path tail: visibility-normalize, regularize, regress."""
+    from .cost_reg import cost_reg_net_s2d
+
+    D = depth_values.shape[1]
     volume_mean = volume_sum / (vis_sum[0][None, None] + 1e-6)  # (C, D, h, w)
     nc_mean = nc_sum / (V - 1)
     if cost_dtype is not None:

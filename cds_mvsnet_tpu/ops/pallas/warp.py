@@ -641,12 +641,18 @@ def _warp_kernel_v6(px_ref, py_ref, src_hbm, out_ref, band, sem, *, H, W, Hpad, 
 
 
 def _warp_kernel_v6s(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref, band, sem,
-                     *, H, W, Hpad, C, ky, tr, dtype):
+                     *, H, W, Hpad, C, ky, tr, dtype, tag_ref=None, view=None):
     """v6s grid step: v6's gather + two fused outputs — ``in_prod = ref ⊙
     warped`` (bf16, the value the cost-volume accumulates) and ``sim = Σ_C
     fp32(warped)·fp32(ref)`` (the similarity the entropy/vis chain consumes).
     Saves the separate full-volume sim pass and the ref multiply outside;
-    numerics identical to computing them from the v6 output."""
+    numerics identical to computing them from the v6 output.
+
+    ``tag_ref`` (SMEM, 3 int32: view/ys/xs of the band already in VMEM)
+    enables the cross-step DMA cache: when the requested window equals the
+    cached one the copy is skipped. Pays off with the depth dim INNERMOST in
+    the grid — consecutive hypotheses shift source coords sub-pixel, so the
+    same aligned window serves long d-runs of a fixed output tile."""
     fourC = 4 * C  # noqa: F841
     px = px_ref[0].astype(jnp.float32)
     py = py_ref[0].astype(jnp.float32)
@@ -684,11 +690,28 @@ def _warp_kernel_v6s(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref, band, s
         in_win = ((by - ymin) // ky == jy) & (bx // KX == jx)
 
         def hit(_):
-            copy = pltpu.make_async_copy(
-                src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
-            )
-            copy.start()
-            copy.wait()
+            if tag_ref is None:
+                copy = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
+                )
+                copy.start()
+                copy.wait()
+            else:
+                cached = (
+                    (tag_ref[0] == view) & (tag_ref[1] == ys) & (tag_ref[2] == xs)
+                )
+
+                @pl.when(jnp.logical_not(cached))
+                def _():
+                    copy = pltpu.make_async_copy(
+                        src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
+                    )
+                    copy.start()
+                    copy.wait()
+                    tag_ref[0] = view
+                    tag_ref[1] = ys
+                    tag_ref[2] = xs
+
             flat = band[...].reshape((ky + 1) * C, KX)
             out = list(accs)
             for orow in range(tr):
@@ -742,6 +765,127 @@ def _warp_kernel_v6s(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref, band, s
         sim_ref[0, orow, :] = acc_sim[0]
 
 
+def _warp_kernel_v6s_batched(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref,
+                             band, sem, tag_ref=None, *, H, W, Hpad, C, ky, tr, dtype):
+    """Multi-view v6s grid step: identical math, with the source VIEW as the
+    outermost grid dim — all V−1 plane sweeps of a stage run in ONE kernel
+    launch (one pipeline fill/drain instead of V−1; the reference loops views
+    in Python, model.py:44-61). Blocks carry a leading view dim of 1; the
+    packed-source stack is sliced per step at the view's index. With
+    ``tag_ref`` the grid is (V, H/tr, W/128, D) — depth innermost — and the
+    band DMA is skipped whenever the requested window is already in VMEM."""
+    v = pl.program_id(0)
+    if tag_ref is not None:
+        first = (
+            (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+            & (pl.program_id(2) == 0) & (pl.program_id(3) == 0)
+        )
+
+        @pl.when(first)
+        def _():
+            tag_ref[0] = -1
+            tag_ref[1] = -1
+            tag_ref[2] = -1
+
+    _warp_kernel_v6s(
+        px_ref.at[0], py_ref.at[0], ref_ref.at[0], src_hbm.at[v],
+        out_ref.at[0], sim_ref.at[0], band, sem,
+        H=H, W=W, Hpad=Hpad, C=C, ky=ky, tr=tr, dtype=dtype,
+        tag_ref=tag_ref, view=v,
+    )
+
+
+def warp_pallas_v6s_batched(
+    src_feats: jnp.ndarray,  # (V, C, H, W) channels-first source views
+    ref_feats: jnp.ndarray,  # (V, C, H_out, W_out) per-pair reference features
+    px: jnp.ndarray,  # (V, D, H_out, W_out)
+    py: jnp.ndarray,
+    ky: int = 8,
+    tr: int = TR,
+    interpret: bool = False,
+    dma_cache: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """All-views fused warp + cost: returns (in_prod ``(V, C, D, H_out,
+    W_out)``, sim ``(V, D, H_out, W_out)`` fp32). Per-view numerics identical
+    to :func:`warp_pallas_v6s`.
+
+    ``dma_cache`` orders the grid depth-innermost and skips the band DMA when
+    a step's window matches the one already in VMEM (plane-sweep coords drift
+    sub-pixel between adjacent hypotheses, so a fixed output tile's d-run
+    mostly reuses one aligned window). Exact for any geometry either way."""
+    V, C, H, W = src_feats.shape
+    _, D, H_out, W_out = px.shape
+    assert ref_feats.shape == (V, C, H_out, W_out), ref_feats.shape
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    packed = jax.vmap(lambda s: pack_src_words(s, channels_first=True))(src_feats)
+    Hp = ((H + ky - 1) // ky) * ky + 1
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, 0), (0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feats.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v6s_batched, H=H, W=W, Hpad=Hp, C=C, ky=ky, tr=tr, dtype=dtype
+    )
+    if dma_cache:
+        grid = (V, H_out // tr, W_out // 128, D)
+        idx_plane = lambda v, y, x, d: (v, d, y, x)
+        idx_ref = lambda v, y, x, d: (v, 0, y, x)
+        idx_out = lambda v, y, x, d: (v, 0, d, y, x)
+    else:
+        grid = (V, D, H_out // tr, W_out // 128)
+        idx_plane = lambda v, d, y, x: (v, d, y, x)
+        idx_ref = lambda v, d, y, x: (v, 0, y, x)
+        idx_out = lambda v, d, y, x: (v, 0, d, y, x)
+    scratch = [
+        pltpu.VMEM((ky + 1, C, KX), jnp.int32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    if dma_cache:
+        scratch.append(pltpu.SMEM((3,), jnp.int32))
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, tr, 128), idx_plane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tr, 128), idx_plane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, tr, 128), idx_ref, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, 1, tr, 128), idx_out, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tr, 128), idx_plane, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((V, C, D, H_out, W_out), dtype),
+            jax.ShapeDtypeStruct((V, D, H_out, W_out), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), ref_feats, packed)
+
+
+def _warp_kernel_v6s_cached(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref,
+                            band, sem, tag_ref, *, H, W, Hpad, C, ky, tr, dtype):
+    """Per-view v6s grid step with the cross-step DMA window cache (grid runs
+    depth-innermost; see :func:`_warp_kernel_v6s`)."""
+    first = (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(first)
+    def _():
+        tag_ref[0] = -1
+        tag_ref[1] = -1
+        tag_ref[2] = -1
+
+    _warp_kernel_v6s(
+        px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref, band, sem,
+        H=H, W=W, Hpad=Hpad, C=C, ky=ky, tr=tr, dtype=dtype,
+        tag_ref=tag_ref, view=0,
+    )
+
+
 def warp_pallas_v6s(
     src_feat: jnp.ndarray,  # (C, H, W) channels-first (source view)
     ref_feat: jnp.ndarray,  # (C, H_out, W_out) channels-first (reference view)
@@ -750,9 +894,14 @@ def warp_pallas_v6s(
     ky: int = 8,
     tr: int = TR,
     interpret: bool = False,
+    dma_cache: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fused warp + cost: returns (in_prod ``(C, D, H_out, W_out)`` bf16-ish,
-    sim ``(D, H_out, W_out)`` fp32). Same bf16-quantizing contract as v6."""
+    sim ``(D, H_out, W_out)`` fp32). Same bf16-quantizing contract as v6.
+
+    ``dma_cache`` reorders the grid depth-innermost and skips the band DMA
+    when a step's window is already resident (adjacent hypotheses shift
+    source coords sub-pixel). Exact for any geometry either way."""
     C, H, W = src_feat.shape
     D, H_out, W_out = px.shape
     assert ref_feat.shape == (C, H_out, W_out), (ref_feat.shape, (C, H_out, W_out))
@@ -764,30 +913,49 @@ def warp_pallas_v6s(
         packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
     dtype = src_feat.dtype
 
-    kernel = functools.partial(
-        _warp_kernel_v6s, H=H, W=W, Hpad=Hp, C=C, ky=ky, tr=tr, dtype=dtype
-    )
+    if dma_cache:
+        kernel = functools.partial(
+            _warp_kernel_v6s_cached, H=H, W=W, Hpad=Hp, C=C, ky=ky, tr=tr, dtype=dtype
+        )
+        grid = (H_out // tr, W_out // 128, D)
+        idx_plane = lambda y, x, d: (d, y, x)
+        idx_ref = lambda y, x, d: (0, y, x)
+        idx_out = lambda y, x, d: (0, d, y, x)
+        scratch = [
+            pltpu.VMEM((ky + 1, C, KX), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((3,), jnp.int32),
+        ]
+    else:
+        kernel = functools.partial(
+            _warp_kernel_v6s, H=H, W=W, Hpad=Hp, C=C, ky=ky, tr=tr, dtype=dtype
+        )
+        grid = (D, H_out // tr, W_out // 128)
+        idx_plane = lambda d, y, x: (d, y, x)
+        idx_ref = lambda d, y, x: (0, y, x)
+        idx_out = lambda d, y, x: (0, d, y, x)
+        scratch = [
+            pltpu.VMEM((ky + 1, C, KX), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ]
     return pl.pallas_call(
         kernel,
-        grid=(D, H_out // tr, W_out // 128),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, tr, 128), lambda d, y, x: (0, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, 128), idx_plane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, 128), idx_plane, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tr, 128), idx_ref, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((C, 1, tr, 128), lambda d, y, x: (0, d, y, x), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tr, 128), lambda d, y, x: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1, tr, 128), idx_out, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tr, 128), idx_plane, memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
             jax.ShapeDtypeStruct((D, H_out, W_out), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((ky + 1, C, KX), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(px.astype(jnp.float32), py.astype(jnp.float32), ref_feat, packed)
 

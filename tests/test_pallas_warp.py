@@ -183,3 +183,54 @@ def test_warp_pallas_v6s_fused_outputs():
     want_sim = np.sum(np.asarray(warped) * np.asarray(ref)[:, None], axis=0)
     np.testing.assert_allclose(np.asarray(in_prod), want_prod, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(sim), want_sim, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_pallas_v6s_dma_cache_exact():
+    """Per-view depth-innermost grid + DMA window cache is bit-identical to
+    the plain v6s launch, even on incoherent geometry (cache misses sweep)."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v6s
+
+    rng = np.random.default_rng(13)
+    H, W, C, D = 16, 128, 8, 4
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    px = jnp.asarray(rng.uniform(-5, W + 5, (D, H, W)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-5, H + 5, (D, H, W)).astype(np.float32))
+
+    in_prod_c, sim_c = warp_pallas_v6s(src, ref, px, py, interpret=True, dma_cache=True)
+    in_prod, sim = warp_pallas_v6s(src, ref, px, py, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(in_prod_c, np.float32), np.asarray(in_prod, np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(sim_c), np.asarray(sim))
+
+
+@pytest.mark.parametrize("dma_cache", [False, True])
+def test_warp_pallas_v6s_batched_matches_per_view(dma_cache):
+    """The all-views launch must reproduce each per-view v6s result exactly
+    (same kernel body; only the grid gains a view axis). With dma_cache the
+    grid runs depth-innermost and band DMAs are skipped on window reuse —
+    still exact on arbitrary (incoherent) geometry."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v6s, warp_pallas_v6s_batched
+
+    rng = np.random.default_rng(11)
+    V, H, W, C, D = 3, 16, 128, 8, 2
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    srcs = q(rng.standard_normal((V, C, H, W)))
+    refs = q(rng.standard_normal((V, C, H, W)))
+    px = rng.uniform(-5, W + 5, (V, D, H, W)).astype(np.float32)
+    py = rng.uniform(-5, H + 5, (V, D, H, W)).astype(np.float32)
+
+    in_prod_b, sim_b = warp_pallas_v6s_batched(
+        srcs, refs, jnp.asarray(px), jnp.asarray(py), interpret=True,
+        dma_cache=dma_cache,
+    )
+    for v in range(V):
+        in_prod, sim = warp_pallas_v6s(
+            srcs[v], refs[v], jnp.asarray(px[v]), jnp.asarray(py[v]), interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(in_prod_b[v], np.float32), np.asarray(in_prod, np.float32)
+        )
+        np.testing.assert_array_equal(np.asarray(sim_b[v]), np.asarray(sim))

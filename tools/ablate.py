@@ -25,13 +25,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 H, W, V, D = 864, 1152, 5, 192
 
-# entries: either an CDS_ABLATE string or ("ablate", "route") with route
-# setting CDS_WARP_ROUTE (in-model warp-variant A/B)
+# entries: an CDS_ABLATE string, ("ablate", "route") with route setting
+# CDS_WARP_ROUTE (in-model warp-variant A/B), or ("ablate", "route", {env})
+# for arbitrary extra env knobs (cleared between configs)
 CONFIGS = [
-    "",
-    ("", "2:v6sky12"),
-    ("", "1:v6sky12,2:v6sky12"),
-    ("", "1:v6sky12,2:v6sky12,3:v6sky6"),
+    "",  # baseline = per-view v6s + depth-innermost DMA window cache
+    ("", "1:v6s,2:v6s,3:v6s"),  # no DMA cache (d-outermost grid)
 ]
 
 
@@ -52,10 +51,18 @@ def main():
     fargs = (batch["imgs"], batch["proj_matrices"], batch["depth_values"])
 
     res = {}
+    extra_keys: set[str] = set()
     for entry in CONFIGS:
-        ab, route = entry if isinstance(entry, tuple) else (entry, "")
+        if isinstance(entry, tuple):
+            ab, route, extra = (entry + ({},))[:3]
+        else:
+            ab, route, extra = entry, "", {}
+        for k in extra_keys:
+            os.environ.pop(k, None)
+        extra_keys = set(extra)
         os.environ["CDS_ABLATE"] = ab
         os.environ["CDS_WARP_ROUTE"] = route
+        os.environ.update(extra)
 
         # fresh import-time capture happens at trace: define a new jit per config
         def fwd(imgs, proj, dv):
@@ -77,12 +84,16 @@ def main():
             np.asarray(jax.device_get(out.ravel()[0]))
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times)) * 1e3
-        name = (ab + ("|" + route if route else "")) or "baseline"
+        name = (
+            ab + ("|" + route if route else "")
+            + ("|" + ",".join(f"{k}={v}" for k, v in extra.items()) if extra else "")
+        ) or "baseline"
         res[name] = round(dt, 1)
         print(f"{name:32s} {dt:9.1f} ms", flush=True)
 
-    base = res["baseline"]
-    deltas = {f"delta_{k}": round(base - v, 1) for k, v in res.items() if k != "baseline"}
+    base_key = "baseline" if "baseline" in res else next(iter(res))
+    base = res[base_key]
+    deltas = {f"delta_{k}": round(base - v, 1) for k, v in res.items() if k != base_key}
     print(json.dumps({**res, **deltas}))
 
 

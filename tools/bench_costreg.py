@@ -30,6 +30,46 @@ SHAPES = {
 }
 
 
+LEVELS = ["s2d", "conv0", "conv2", "conv4", "conv6", "conv7", "conv9", "conv11", None]
+
+
+def levels_main():
+    """Per-level prefix attribution (same-process deltas): each entry is the
+    prefix ending at that level; successive differences = that level's cost."""
+    from cds_mvsnet_tpu.models.convert import convert_checkpoint
+    from cds_mvsnet_tpu.models.cost_reg import cost_reg_net_s2d
+
+    params = convert_checkpoint("/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth")
+    res = {}
+    for sname, (C, D, h, w) in SHAPES.items():
+        p = jax.device_put(params["cost_regularization"][str(int(sname[-1]) - 1)])
+        vol = jax.device_put(
+            jax.random.normal(jax.random.PRNGKey(0), (C, D, h, w), jnp.bfloat16)
+        )
+        prev = 0.0
+        for lv in LEVELS:
+            def fn(p, v, lv=lv):
+                return jnp.sum(
+                    cost_reg_net_s2d(p, v, b=4, cfirst=True, stop_after=lv).astype(jnp.float32)
+                )
+
+            jf = jax.jit(fn)
+            out = jf(p, vol)
+            np.asarray(jax.device_get(out))
+            times = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = jf(p, vol)
+                np.asarray(jax.device_get(out))
+                times.append(time.perf_counter() - t0)
+            dt = float(np.median(times)) * 1e3
+            name = lv or "full"
+            res[f"{sname}_{name}"] = round(dt, 1)
+            print(f"{sname} {name}: {dt:.1f} ms (delta {dt - prev:+.1f})", flush=True)
+            prev = dt
+    print(json.dumps(res))
+
+
 def main():
     from cds_mvsnet_tpu.models.convert import convert_checkpoint
     from cds_mvsnet_tpu.models.cost_reg import cost_reg_net_s2d
@@ -68,4 +108,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--levels" in sys.argv:
+        levels_main()
+    else:
+        main()
