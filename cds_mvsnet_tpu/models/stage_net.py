@@ -334,13 +334,26 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 px_k = jnp.pad(px_k, pad, constant_values=-1e6)
                 py_k = jnp.pad(py_k, pad, constant_values=-1e6)
                 ref_k = jnp.pad(ref_t, ((0, 0), (0, 0), (0, Wp - w)))
-            # DEFAULT route: per-view launch, depth-innermost grid + DMA
-            # window cache (in-model -3.1 ms/map vs d-outermost, exact).
-            # Route "v6s"/"v6sky<N>" = no-cache variants for A/B.
-            in_prod, sim_k = warp_pallas_v6s(
-                src_feat[0], ref_k, px_k, py_k, ky=ky,
-                dma_cache=route in (None, "v6sc"),
-            )
+            # DEFAULT route: depth-blocked per-view launch (v6sd, kd=4) —
+            # kd adjacent planes share one grid step / band window, so all
+            # per-tile fixed costs amortize while gather volume is unchanged
+            # (in-model -85.9 ms/map vs per-step planes; kd=2 -72.4). Route
+            # "v6sd<kd>" overrides kd; "v6s"/"v6sc"/"v6sky<N>" = the
+            # plane-per-step variants for A/B.
+            if route is None or route.startswith("v6sd"):
+                from ..ops.pallas.warp import warp_pallas_v6sd
+
+                kd = 4 if route is None else int(route[len("v6sd"):] or 4)
+                while D % kd:  # stages with odd plane counts fall back safely
+                    kd //= 2
+                in_prod, sim_k = warp_pallas_v6sd(
+                    src_feat[0], ref_k, px_k, py_k, ky=ky, kd=max(kd, 1)
+                )
+            else:
+                in_prod, sim_k = warp_pallas_v6s(
+                    src_feat[0], ref_k, px_k, py_k, ky=ky,
+                    dma_cache=route == "v6sc",
+                )
             if Wp != w:
                 in_prod = in_prod[..., :w]
                 sim_k = sim_k[..., :w]

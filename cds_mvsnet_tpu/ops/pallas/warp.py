@@ -865,6 +865,285 @@ def warp_pallas_v6s_batched(
     )(px.astype(jnp.float32), py.astype(jnp.float32), ref_feats, packed)
 
 
+def _warp_kernel_v6sd(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref,
+                      band, sem, tag_ref, *, H, W, Hpad, C, ky, kd, tr, dtype):
+    """Depth-blocked v6s grid step: ``kd`` adjacent depth planes per tile.
+
+    Adjacent plane-sweep hypotheses shift source coords sub-pixel, so one
+    (ky+1, C, 128) band window covers a whole kd-run of a fixed output tile:
+    per-tile fixed costs (grid step, block transfers, window DMA issue,
+    in-window bookkeeping) amortize over kd planes while the gather volume —
+    which scales with OUTPUT rows, not tiles — stays unchanged. Taller
+    spatial tiles (tr=16/24) failed because the band must grow with the
+    tile's source-row span; depth tiles keep the span fixed. Same exactness
+    contract and bf16 numerics as v6s."""
+    first = (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(first)
+    def _():
+        tag_ref[0] = -1
+        tag_ref[1] = -1
+        tag_ref[2] = -1
+
+    px = px_ref[...].astype(jnp.float32)  # (kd, tr, 128)
+    py = py_ref[...].astype(jnp.float32)
+    _v6sd_core(px, py, ref_ref, src_hbm, out_ref, sim_ref, band, sem, tag_ref,
+               H=H, W=W, Hpad=Hpad, C=C, ky=ky, kd=kd, tr=tr, dtype=dtype)
+
+
+def _warp_kernel_v6sdc(rt_ref, dep_ref, ref_ref, src_hbm, out_ref, sim_ref,
+                       band, sem, tag_ref, *, H, W, Hpad, C, ky, kd, tr, dtype,
+                       w_valid):
+    """v6sd grid step with the projective coordinate math folded into the
+    prologue: instead of streaming precomputed (px, py) planes from HBM, the
+    tile reads its (kd, tr, 128) DEPTH block and 12 SMEM scalars (the
+    ref→src homography basis rot/trans of ops/geometry.py:130-152) and
+    evaluates px = (L0·d + t0)/(L2·d + t2 + 1e-6) on the VPU — same formula
+    as plane_sweep_coords (geometry.py:155-176), fp32. Removes the XLA
+    coords pass and one full (D, h, w) ×2 HBM round trip per view. Output
+    lanes past ``w_valid`` (128-lane padding) get the -1e6 sentinel exactly
+    like warp's padded-px convention."""
+    first = (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(first)
+    def _():
+        tag_ref[0] = -1
+        tag_ref[1] = -1
+        tag_ref[2] = -1
+
+    yt = pl.program_id(0)
+    xt = pl.program_id(1)
+    ii = jax.lax.broadcasted_iota(jnp.float32, (tr, 128), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (tr, 128), 1)
+    X = xt.astype(jnp.float32) * 128.0 + jj  # ref-pixel coords of the tile
+    Y = yt.astype(jnp.float32) * float(tr) + ii
+    L0 = rt_ref[0] * X + rt_ref[1] * Y + rt_ref[2]
+    L1 = rt_ref[3] * X + rt_ref[4] * Y + rt_ref[5]
+    L2 = rt_ref[6] * X + rt_ref[7] * Y + rt_ref[8]
+    dep = dep_ref[...].astype(jnp.float32)  # (kd, tr, 128)
+    z = L2[None] * dep + rt_ref[11] + 1e-6
+    px = (L0[None] * dep + rt_ref[9]) / z
+    py = (L1[None] * dep + rt_ref[10]) / z
+    pad = jnp.broadcast_to((X >= float(w_valid))[None], px.shape)
+    px = jnp.where(pad, -1e6, px)
+    py = jnp.where(pad, -1e6, py)
+    _v6sd_core(px, py, ref_ref, src_hbm, out_ref, sim_ref, band, sem, tag_ref,
+               H=H, W=W, Hpad=Hpad, C=C, ky=ky, kd=kd, tr=tr, dtype=dtype)
+
+
+def _v6sd_core(px, py, ref_ref, src_hbm, out_ref, sim_ref, band, sem, tag_ref,
+               *, H, W, Hpad, C, ky, kd, tr, dtype):
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+    dx = x0 - bx
+
+    vx0 = ((x0 >= 0) & (x0 < W)).astype(jnp.float32) * (1 - tx)
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < W)).astype(jnp.float32) * tx
+    wy0 = ((y0 >= 0) & (y0 < H)).astype(jnp.float32) * (1 - ty)
+    wy1 = ((y0 + 1 >= 0) & (y0 + 1 < H)).astype(jnp.float32) * ty
+
+    ymin = jnp.min(by)
+    n_y = (jnp.max(by) - ymin) // ky + 1
+    xwin_lo = jnp.min(bx) // KX
+    n_x = jnp.max(bx) // KX - xwin_lo + 1
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ky + 1, 128), 0)
+    zero = jnp.zeros((C, 128), jnp.int32)
+    acc0 = tuple((zero, zero) for _ in range(kd * tr))
+
+    def body(widx, accs):
+        jy = widx // n_x
+        jx = xwin_lo + widx % n_x
+        ys = jnp.minimum(ymin + jy * ky, Hpad - (ky + 1))
+        xs = jx * KX
+        in_win = ((by - ymin) // ky == jy) & (bx // KX == jx)  # (kd, tr, 128)
+
+        def hit(_):
+            cached = (tag_ref[0] == 0) & (tag_ref[1] == ys) & (tag_ref[2] == xs)
+
+            @pl.when(jnp.logical_not(cached))
+            def _():
+                copy = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
+                )
+                copy.start()
+                copy.wait()
+                tag_ref[0] = 0
+                tag_ref[1] = ys
+                tag_ref[2] = xs
+
+            flat = band[...].reshape((ky + 1) * C, KX)
+            out = list(accs)
+            for od in range(kd):
+                for orow in range(tr):
+                    iw = in_win[od, orow].reshape(1, 128)
+                    xl = jnp.clip(bx[od, orow] - xs, 0, KX - 1).reshape(1, 128)
+                    idx = jnp.broadcast_to(xl, ((ky + 1) * C, 128)).astype(jnp.int32)
+                    g = jnp.take_along_axis(flat, idx, axis=1).reshape(ky + 1, C, KX)
+                    yl0 = (y0[od, orow] - ys).reshape(1, 128)
+                    sel0 = iw & (yl0 == riota)
+                    sel1 = iw & (yl0 + 1 == riota)
+                    a0, a1 = out[od * tr + orow]
+                    out[od * tr + orow] = (
+                        a0 + jnp.sum(jnp.where(sel0[:, None, :], g, 0), axis=0),
+                        a1 + jnp.sum(jnp.where(sel1[:, None, :], g, 0), axis=0),
+                    )
+            return tuple(out)
+
+        return jax.lax.cond(jnp.any(in_win), hit, lambda _: accs, None)
+
+    accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
+
+    for od in range(kd):
+        for orow in range(tr):
+            a0, a1 = accs[od * tr + orow]
+            b00 = jax.lax.bitcast_convert_type(a0 & jnp.int32(-65536), jnp.float32)
+            b01 = jax.lax.bitcast_convert_type(a0 << 16, jnp.float32)
+            b10 = jax.lax.bitcast_convert_type(a1 & jnp.int32(-65536), jnp.float32)
+            b11 = jax.lax.bitcast_convert_type(a1 << 16, jnp.float32)
+            w0 = jnp.broadcast_to(wy0[od, orow].reshape(1, 128), (C, 128))
+            w1 = jnp.broadcast_to(wy1[od, orow].reshape(1, 128), (C, 128))
+            p0 = b00 * w0 + b10 * w1
+            p1 = b01 * w0 + b11 * w1
+            s = jnp.broadcast_to(dx[od, orow].reshape(1, 128), (C, 128))
+            cx0 = jnp.where(s == 0, p0, p1)
+            cx1 = jnp.where(s + 1 == 0, p0, p1)
+            warped = cx0 * jnp.broadcast_to(vx0[od, orow].reshape(1, 128), (C, 128)) + \
+                cx1 * jnp.broadcast_to(vx1[od, orow].reshape(1, 128), (C, 128))
+            warped_bf = warped.astype(dtype)
+            ref_row = ref_ref[:, orow, :]  # (C, 128) bf16
+            out_ref[:, od, orow, :] = ref_row * warped_bf
+            prod = warped_bf.astype(jnp.float32) * ref_row.astype(jnp.float32)
+            acc_sim = prod[0:1]
+            for c in range(1, C):
+                acc_sim = acc_sim + prod[c : c + 1]
+            sim_ref[od, orow, :] = acc_sim[0]
+
+
+def warp_pallas_v6sd(
+    src_feat: jnp.ndarray,  # (C, H, W) channels-first (source view)
+    ref_feat: jnp.ndarray,  # (C, H_out, W_out) channels-first (reference view)
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    ky: int = 8,
+    kd: int = 4,
+    tr: int = TR,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth-blocked fused warp + cost (kd planes per grid step); same
+    contract as :func:`warp_pallas_v6s`. Requires ``D % kd == 0``."""
+    C, H, W = src_feat.shape
+    D, H_out, W_out = px.shape
+    assert ref_feat.shape == (C, H_out, W_out), (ref_feat.shape, (C, H_out, W_out))
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    assert D % kd == 0, (D, kd)
+    packed = pack_src_words(src_feat, channels_first=True)
+    Hp = ((H + ky - 1) // ky) * ky + 1
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v6sd, H=H, W=W, Hpad=Hp, C=C, ky=ky, kd=kd, tr=tr, dtype=dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(H_out // tr, W_out // 128, D // kd),
+        in_specs=[
+            pl.BlockSpec((kd, tr, 128), lambda y, x, d: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kd, tr, 128), lambda y, x, d: (d, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, tr, 128), lambda y, x, d: (0, y, x), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, kd, tr, 128), lambda y, x, d: (0, d, y, x),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kd, tr, 128), lambda y, x, d: (d, y, x), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+            jax.ShapeDtypeStruct((D, H_out, W_out), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ky + 1, C, KX), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((3,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(px.astype(jnp.float32), py.astype(jnp.float32), ref_feat, packed)
+
+
+def warp_pallas_v6sdc(
+    src_feat: jnp.ndarray,  # (C, H, W) channels-first (source view)
+    ref_feat: jnp.ndarray,  # (C, H_out, W_out) channels-first (reference view)
+    depth: jnp.ndarray,  # (D, H_out, W_out) per-pixel hypotheses (W_out padded ok)
+    rt: jnp.ndarray,  # (12,) fp32: rot (9, row-major) ++ trans (3)
+    w_valid: int,  # true output width (lanes >= w_valid get zero output)
+    ky: int = 8,
+    kd: int = 4,
+    tr: int = TR,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth-blocked fused warp + cost with IN-KERNEL projective coords; same
+    outputs as :func:`warp_pallas_v6sd` fed with plane_sweep_coords(rt)
+    (up to fp32 association ulps in px/py)."""
+    C, H, W = src_feat.shape
+    D, H_out, W_out = depth.shape
+    assert ref_feat.shape == (C, H_out, W_out), (ref_feat.shape, (C, H_out, W_out))
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    assert D % kd == 0, (D, kd)
+    packed = pack_src_words(src_feat, channels_first=True)
+    Hp = ((H + ky - 1) // ky) * ky + 1
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        packed = jnp.pad(packed, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v6sdc, H=H, W=W, Hpad=Hp, C=C, ky=ky, kd=kd, tr=tr,
+        dtype=dtype, w_valid=w_valid,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H_out // tr, W_out // 128, D // kd),
+        in_specs=[
+            pl.BlockSpec((kd, tr, 128), lambda y, x, d, rt: (d, y, x)),
+            pl.BlockSpec((C, tr, 128), lambda y, x, d, rt: (0, y, x)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, kd, tr, 128), lambda y, x, d, rt: (0, d, y, x)),
+            pl.BlockSpec((kd, tr, 128), lambda y, x, d, rt: (d, y, x)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ky + 1, C, KX), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((3,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+            jax.ShapeDtypeStruct((D, H_out, W_out), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rt.astype(jnp.float32), depth.astype(jnp.float32), ref_feat, packed)
+
+
 def _warp_kernel_v6s_cached(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref,
                             band, sem, tag_ref, *, H, W, Hpad, C, ky, tr, dtype):
     """Per-view v6s grid step with the cross-step DMA window cache (grid runs

@@ -185,6 +185,29 @@ def test_warp_pallas_v6s_fused_outputs():
     np.testing.assert_allclose(np.asarray(sim), want_sim, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("kd", [2, 4])
+def test_warp_pallas_v6sd_matches_v6s(kd):
+    """Depth-blocked tiles (kd planes per grid step) are bit-identical to
+    plain v6s, even on incoherent geometry where the kd-union band spans
+    extra windows."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v6s, warp_pallas_v6sd
+
+    rng = np.random.default_rng(17)
+    H, W, C, D = 16, 128, 8, 4
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    px = jnp.asarray(rng.uniform(-5, W + 5, (D, H, W)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-5, H + 5, (D, H, W)).astype(np.float32))
+
+    in_prod_d, sim_d = warp_pallas_v6sd(src, ref, px, py, kd=kd, interpret=True)
+    in_prod, sim = warp_pallas_v6s(src, ref, px, py, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(in_prod_d, np.float32), np.asarray(in_prod, np.float32)
+    )
+    np.testing.assert_array_equal(np.asarray(sim_d), np.asarray(sim))
+
+
 def test_warp_pallas_v6s_dma_cache_exact():
     """Per-view depth-innermost grid + DMA window cache is bit-identical to
     the plain v6s launch, even on incoherent geometry (cache misses sweep)."""

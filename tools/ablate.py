@@ -29,8 +29,9 @@ H, W, V, D = 864, 1152, 5, 192
 # CDS_WARP_ROUTE (in-model warp-variant A/B), or ("ablate", "route", {env})
 # for arbitrary extra env knobs (cleared between configs)
 CONFIGS = [
-    "",  # baseline = per-view v6s + depth-innermost DMA window cache
-    ("", "1:v6s,2:v6s,3:v6s"),  # no DMA cache (d-outermost grid)
+    "",  # baseline = depth-blocked v6sd kd=4 everywhere (current default)
+    ("", "1:v6sd8,2:v6sd8,3:v6sd8"),  # kd=8 everywhere
+    ("", "3:v6sd8"),  # kd=8 only at stage3 (its whole depth axis per step)
 ]
 
 
