@@ -340,7 +340,38 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
             # (in-model -85.9 ms/map vs per-step planes; kd=2 -72.4). Route
             # "v6sd<kd>" overrides kd; "v6s"/"v6sc"/"v6sky<N>" = the
             # plane-per-step variants for A/B.
-            if route is None or route.startswith("v6sd"):
+            if route is None or route.startswith("v6sdc"):
+                # DEFAULT route (v6sdc): in-kernel projective coords — the
+                # tile evaluates px/py from 12 SMEM homography scalars + its
+                # depth block, so the XLA coords pass and both (D, h, w)
+                # px/py HBM streams vanish (px/py above are dead here and
+                # DCE'd by jit). In-model −9.8 ms/map vs v6sd (ablate,
+                # same-process A/B); kd=8 measured level with kd=4.
+                from ..ops.geometry import relative_warp_transform
+                from ..ops.pallas.warp import warp_pallas_v6sdc
+
+                # route grammar: "v6sdc[<kd>][y<ky>]", e.g. "v6sdc4y12"
+                suffix = "" if route is None else route[len("v6sdc"):]
+                kd_s, _, ky_s = suffix.partition("y")
+                kd = int(kd_s or 4)
+                if ky_s:
+                    ky = int(ky_s)
+                while D % kd:
+                    kd //= 2
+                rot, trans = relative_warp_transform(ref_cam, cams[:, v])
+                rt = jnp.concatenate(
+                    [rot[0].reshape(9), trans[0].reshape(3)]
+                ).astype(jnp.float32)
+                if depth_values.ndim == 2:
+                    dep = jnp.broadcast_to(depth_values[0][:, None, None], (D, h, w))
+                else:
+                    dep = depth_values[0]
+                if Wp != w:
+                    dep = jnp.pad(dep, ((0, 0), (0, 0), (0, Wp - w)))
+                in_prod, sim_k = warp_pallas_v6sdc(
+                    src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky, kd=max(kd, 1)
+                )
+            elif route is None or route.startswith("v6sd"):
                 from ..ops.pallas.warp import warp_pallas_v6sd
 
                 kd = 4 if route is None else int(route[len("v6sd"):] or 4)

@@ -917,8 +917,9 @@ def _warp_kernel_v6sdc(rt_ref, dep_ref, ref_ref, src_hbm, out_ref, sim_ref,
 
     yt = pl.program_id(0)
     xt = pl.program_id(1)
-    ii = jax.lax.broadcasted_iota(jnp.float32, (tr, 128), 0)
-    jj = jax.lax.broadcasted_iota(jnp.float32, (tr, 128), 1)
+    # Mosaic's tpu.iota is integer-only; cast after (fp32 iota fails verify)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 0).astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 1).astype(jnp.float32)
     X = xt.astype(jnp.float32) * 128.0 + jj  # ref-pixel coords of the tile
     Y = yt.astype(jnp.float32) * float(tr) + ii
     L0 = rt_ref[0] * X + rt_ref[1] * Y + rt_ref[2]

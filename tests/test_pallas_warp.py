@@ -208,6 +208,51 @@ def test_warp_pallas_v6sd_matches_v6s(kd):
     np.testing.assert_array_equal(np.asarray(sim_d), np.asarray(sim))
 
 
+@pytest.mark.parametrize("w_valid", [128, 120])
+def test_warp_pallas_v6sdc_matches_v6sd(w_valid):
+    """In-kernel projective coords match v6sd fed with host-side px/py from
+    the same formula (L = rot·[X,Y,1]; p = (L·d + t)/(L2·d + t2 + 1e-6));
+    lanes past w_valid follow the -1e6 sentinel convention. The kernel's
+    fp32 FMA contraction rounds differently from numpy's mul+add by a few
+    coordinate ulps, so a small fraction of lerp weights differ in the last
+    bf16 bit — tolerance-based, with a tight mismatch-fraction bound."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v6sd, warp_pallas_v6sdc
+
+    rng = np.random.default_rng(23)
+    H, W, C, D = 16, 128, 8, 4
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    # near-identity homography with small perspective terms: z stays ~depth
+    # and px/py land in/near the image, like a real plane sweep
+    rot = (np.eye(3) + 0.02 * rng.standard_normal((3, 3))).astype(np.float32)
+    rot[2, :2] *= 0.02
+    trans = (50.0 * rng.standard_normal(3)).astype(np.float32)
+    dep = rng.uniform(400.0, 600.0, (D, H, W)).astype(np.float32)
+
+    Y, X = np.meshgrid(np.arange(H, dtype=np.float32),
+                       np.arange(W, dtype=np.float32), indexing="ij")
+    L = [rot[i, 0] * X + rot[i, 1] * Y + rot[i, 2] for i in range(3)]
+    z = L[2][None] * dep + trans[2] + 1e-6
+    px = (L[0][None] * dep + trans[0]) / z
+    py = (L[1][None] * dep + trans[1]) / z
+    px[:, :, w_valid:] = -1e6
+    py[:, :, w_valid:] = -1e6
+
+    rt = jnp.asarray(np.concatenate([rot.ravel(), trans]))
+    in_prod_c, sim_c = warp_pallas_v6sdc(
+        src, ref, jnp.asarray(dep), rt, w_valid=w_valid, interpret=True
+    )
+    in_prod, sim = warp_pallas_v6sd(
+        src, ref, jnp.asarray(px), jnp.asarray(py), interpret=True
+    )
+    in_prod_c = np.asarray(in_prod_c, np.float32)
+    in_prod = np.asarray(in_prod, np.float32)
+    assert np.mean(in_prod_c != in_prod) < 0.02
+    np.testing.assert_allclose(in_prod_c, in_prod, atol=0.06)
+    np.testing.assert_allclose(np.asarray(sim_c), np.asarray(sim), atol=0.25)
+
+
 def test_warp_pallas_v6s_dma_cache_exact():
     """Per-view depth-innermost grid + DMA window cache is bit-identical to
     the plain v6s launch, even on incoherent geometry (cache misses sweep)."""

@@ -29,9 +29,13 @@ H, W, V, D = 864, 1152, 5, 192
 # CDS_WARP_ROUTE (in-model warp-variant A/B), or ("ablate", "route", {env})
 # for arbitrary extra env knobs (cleared between configs)
 CONFIGS = [
-    "",  # baseline = depth-blocked v6sd kd=4 everywhere (current default)
-    ("", "1:v6sd8,2:v6sd8,3:v6sd8"),  # kd=8 everywhere
-    ("", "3:v6sd8"),  # kd=8 only at stage3 (its whole depth axis per step)
+    "",  # baseline = v6sdc kd=4, ky=(16,16,8) (current default)
+    ("", "1:v6sd,2:v6sd,3:v6sd"),  # prior default (host-side px/py streams)
+    # ky re-sweep under kd-blocking: kd amortizes the window-transition
+    # costs that made smaller ky lose pre-kd; gather/sweep volume scales
+    # with (ky+1)·C so smaller bands may now win.
+    ("", "1:v6sdc4y12,2:v6sdc4y12,3:v6sdc4y6"),
+    ("", "1:v6sdc4y8,2:v6sdc4y8,3:v6sdc4y4"),
 ]
 
 
