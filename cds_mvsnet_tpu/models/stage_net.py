@@ -350,8 +350,17 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 from ..ops.geometry import relative_warp_transform
                 from ..ops.pallas.warp import warp_pallas_v6sdc
 
-                # route grammar: "v6sdc[<kd>][y<ky>]", e.g. "v6sdc4y12"
+                # route grammar: "v6sdc[g|o][<kd>][y<ky>]", e.g. "v6sdco4y12"
+                # (g = per-row window gating, o = per-depth window loops —
+                # A/B knobs)
                 suffix = "" if route is None else route[len("v6sdc"):]
+                gate = "none"
+                if suffix.startswith("g"):
+                    gate = "row"
+                    suffix = suffix[1:]
+                elif suffix.startswith("o"):
+                    gate = "odloop"
+                    suffix = suffix[1:]
                 kd_s, _, ky_s = suffix.partition("y")
                 kd = int(kd_s or 4)
                 if ky_s:
@@ -369,7 +378,8 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 if Wp != w:
                     dep = jnp.pad(dep, ((0, 0), (0, 0), (0, Wp - w)))
                 in_prod, sim_k = warp_pallas_v6sdc(
-                    src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky, kd=max(kd, 1)
+                    src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky, kd=max(kd, 1),
+                    gate=gate,
                 )
             elif route is None or route.startswith("v6sd"):
                 from ..ops.pallas.warp import warp_pallas_v6sd

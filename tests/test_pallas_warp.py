@@ -253,6 +253,32 @@ def test_warp_pallas_v6sdc_matches_v6sd(w_valid):
     np.testing.assert_allclose(np.asarray(sim_c), np.asarray(sim), atol=0.25)
 
 
+@pytest.mark.parametrize("gate", ["row", "odloop"])
+def test_warp_pallas_v6sdc_gate_variants_exact(gate):
+    """The window-sweep gate variants (per-row cond skip / per-depth-plane
+    window loops) are bit-identical to the ungated union sweep — they only
+    skip work whose masked contribution is zero."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v6sdc
+
+    rng = np.random.default_rng(7)
+    H, W, C, D = 16, 128, 8, 4
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    rot = (np.eye(3) + 0.02 * rng.standard_normal((3, 3))).astype(np.float32)
+    rot[2, :2] *= 0.02
+    trans = (50.0 * rng.standard_normal(3)).astype(np.float32)
+    dep = rng.uniform(400.0, 600.0, (D, H, W)).astype(np.float32)
+    rt = jnp.asarray(np.concatenate([rot.ravel(), trans]))
+
+    base = warp_pallas_v6sdc(src, ref, jnp.asarray(dep), rt, w_valid=120,
+                             interpret=True)
+    gated = warp_pallas_v6sdc(src, ref, jnp.asarray(dep), rt, w_valid=120,
+                              interpret=True, gate=gate)
+    for x, y in zip(base, gated):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
 def test_warp_pallas_v6s_dma_cache_exact():
     """Per-view depth-innermost grid + DMA window cache is bit-identical to
     the plain v6s launch, even on incoherent geometry (cache misses sweep)."""

@@ -30,12 +30,9 @@ H, W, V, D = 864, 1152, 5, 192
 # for arbitrary extra env knobs (cleared between configs)
 CONFIGS = [
     "",  # baseline = v6sdc kd=4, ky=(16,16,8) (current default)
-    ("", "1:v6sd,2:v6sd,3:v6sd"),  # prior default (host-side px/py streams)
-    # ky re-sweep under kd-blocking: kd amortizes the window-transition
-    # costs that made smaller ky lose pre-kd; gather/sweep volume scales
-    # with (ky+1)·C so smaller bands may now win.
-    ("", "1:v6sdc4y12,2:v6sdc4y12,3:v6sdc4y6"),
-    ("", "1:v6sdc4y8,2:v6sdc4y8,3:v6sdc4y4"),
+    # NEGATIVE results kept for the record (see CLAUDE.md): v6sdcg (per-row
+    # cond gather skip) +277 ms/map; v6sdco (per-depth window loops)
+    # +80 ms/map — the union sweep is converged.
 ]
 
 
