@@ -314,7 +314,8 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         # and the outside ref multiply disappear. Ablation knobs and route
         # overrides keep the unfused path so their DCE semantics stay valid.
         fused = (
-            use_kernel and bf16 and (route is None or route.startswith("v6s"))
+            use_kernel and bf16
+            and (route is None or route.startswith("v6s") or route.startswith("v7m"))
             and not any(
                 f"{k}{stage_idx + 1}" in _ablate for k in ("nowarp", "novis", "nocoords")
             )
@@ -334,14 +335,40 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 px_k = jnp.pad(px_k, pad, constant_values=-1e6)
                 py_k = jnp.pad(py_k, pad, constant_values=-1e6)
                 ref_k = jnp.pad(ref_t, ((0, 0), (0, 0), (0, Wp - w)))
-            # DEFAULT route: depth-blocked per-view launch (v6sd, kd=4) —
-            # kd adjacent planes share one grid step / band window, so all
-            # per-tile fixed costs amortize while gather volume is unchanged
-            # (in-model -85.9 ms/map vs per-step planes; kd=2 -72.4). Route
-            # "v6sd<kd>" overrides kd; "v6s"/"v6sc"/"v6sky<N>" = the
-            # plane-per-step variants for A/B.
-            if route is None or route.startswith("v6sdc"):
-                # DEFAULT route (v6sdc): in-kernel projective coords — the
+            # Route chain (first match wins): v7m (default), v6sdc, v6sd,
+            # v6s/v6sc/v6sky<N> — all depth-blocked per-view launches; the
+            # older variants stay route-gated for A/B.
+            if route is None or route.startswith("v7m"):
+                # DEFAULT route (v7m): MXU-contraction warp — x-select and
+                # x-lerp fold into a bf16 selection-matrix matmul with fp32
+                # accumulation; only the y-mix stays on the VPU. In-model
+                # −80.3 ms/map vs v6sdc (ablate, same-process: stage2 −54.8,
+                # stage1 −23.7). Route grammar "v7m[<kd>][y<ky>]".
+                from ..ops.geometry import relative_warp_transform
+                from ..ops.pallas.warp import warp_pallas_v7m
+
+                suffix = "" if route is None else route[len("v7m"):]
+                kd_s, _, ky_s = suffix.partition("y")
+                kd = int(kd_s or 4)
+                if ky_s:
+                    ky = int(ky_s)
+                while D % kd:
+                    kd //= 2
+                rot, trans = relative_warp_transform(ref_cam, cams[:, v])
+                rt = jnp.concatenate(
+                    [rot[0].reshape(9), trans[0].reshape(3)]
+                ).astype(jnp.float32)
+                if depth_values.ndim == 2:
+                    dep = jnp.broadcast_to(depth_values[0][:, None, None], (D, h, w))
+                else:
+                    dep = depth_values[0]
+                if Wp != w:
+                    dep = jnp.pad(dep, ((0, 0), (0, 0), (0, Wp - w)))
+                in_prod, sim_k = warp_pallas_v7m(
+                    src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky, kd=max(kd, 1)
+                )
+            elif route.startswith("v6sdc"):
+                # v6sdc (prior default): in-kernel projective coords — the
                 # tile evaluates px/py from 12 SMEM homography scalars + its
                 # depth block, so the XLA coords pass and both (D, h, w)
                 # px/py HBM streams vanish (px/py above are dead here and
@@ -381,10 +408,10 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                     src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky, kd=max(kd, 1),
                     gate=gate,
                 )
-            elif route is None or route.startswith("v6sd"):
+            elif route.startswith("v6sd"):
                 from ..ops.pallas.warp import warp_pallas_v6sd
 
-                kd = 4 if route is None else int(route[len("v6sd"):] or 4)
+                kd = int(route[len("v6sd"):] or 4)
                 while D % kd:  # stages with odd plane counts fall back safely
                     kd //= 2
                 in_prod, sim_k = warp_pallas_v6sd(

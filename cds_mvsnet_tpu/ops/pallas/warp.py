@@ -1243,6 +1243,217 @@ def warp_pallas_v6sdc(
     )(rt.astype(jnp.float32), depth.astype(jnp.float32), ref_feat, packed)
 
 
+def _warp_kernel_v7m(rt_ref, dep_ref, ref_ref, src_hbm, out_ref, sim_ref,
+                     band, sem, tag_ref, *, H, W, Hpad, C, ky, kd, tr, dtype,
+                     w_valid):
+    """MXU-contraction warp: the per-row crossbar gather + int one-hot band
+    sweep of :func:`_v6sd_core` is replaced by one matmul per depth sub-block
+    against a constructed selection matrix.
+
+    For each window visit, an ``(KX, tr·128)`` bf16 matrix ``Mx`` holds
+    ``vx0·[k == x0−xs] + vx1·[k == x0+1−xs]`` per output lane (the x-select
+    AND x-lerp folded together; out-of-window corners simply match no iota
+    row and contribute 0 — rows straddling a window boundary pick up the
+    missing corner on the neighboring window's visit). The band — UNPACKED
+    bf16 ``(ky+1, C, KX)``, half the DMA bytes of the int32 x-pair packing —
+    contracts with ``Mx`` on the MXU with fp32 accumulation, and only the
+    cheap y-mix (2-hot fp32 weights over the ky+1 band rows) runs on the
+    VPU. The accumulator is the finished bilinear result in fp32: no int
+    bitcasts, no x-select epilogue. Not bit-identical to v6sd (x-lerp
+    weights are rounded to bf16 for the MXU operand, ~2^-8 relative — the
+    same order as the bf16 feature quantization already accepted)."""
+    first = (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(first)
+    def _():
+        tag_ref[0] = -1
+        tag_ref[1] = -1
+        tag_ref[2] = -1
+
+    yt = pl.program_id(0)
+    xt = pl.program_id(1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 0).astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 1).astype(jnp.float32)
+    X = xt.astype(jnp.float32) * 128.0 + jj
+    Y = yt.astype(jnp.float32) * float(tr) + ii
+    L0 = rt_ref[0] * X + rt_ref[1] * Y + rt_ref[2]
+    L1 = rt_ref[3] * X + rt_ref[4] * Y + rt_ref[5]
+    L2 = rt_ref[6] * X + rt_ref[7] * Y + rt_ref[8]
+    dep = dep_ref[...].astype(jnp.float32)  # (kd, tr, 128)
+    z = L2[None] * dep + rt_ref[11] + 1e-6
+    px = (L0[None] * dep + rt_ref[9]) / z
+    py = (L1[None] * dep + rt_ref[10]) / z
+    pad = jnp.broadcast_to((X >= float(w_valid))[None], px.shape)
+    px = jnp.where(pad, -1e6, px)
+    py = jnp.where(pad, -1e6, py)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+
+    vx0 = ((x0 >= 0) & (x0 < W)).astype(jnp.float32) * (1 - tx)
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < W)).astype(jnp.float32) * tx
+    wy0 = ((y0 >= 0) & (y0 < H)).astype(jnp.float32) * (1 - ty)
+    wy1 = ((y0 + 1 >= 0) & (y0 + 1 < H)).astype(jnp.float32) * ty
+
+    ymin = jnp.min(by)
+    n_y = (jnp.max(by) - ymin) // ky + 1
+    # the +1 corner can fall in the next x-window: widen the sweep hi bound
+    xwin_lo = jnp.min(bx) // KX
+    n_x = jnp.max(bx + 1) // KX - xwin_lo + 1
+
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ky + 1, 128), 0)
+    # fp32 domain for the one-hot build: int32 compares make an (8,128)-tiled
+    # i1 mask that can't feed a bf16 select (Mosaic relayout reject), and the
+    # VPU has no bf16 compare at all ("Target does not support this
+    # comparison") — fp32 compare + fp32 select + one bf16 cast works
+    kio_f = jax.lax.broadcasted_iota(jnp.int32, (KX, tr * 128), 0).astype(jnp.float32)
+    zero = jnp.zeros((C, 128), jnp.float32)
+    acc0 = tuple(zero for _ in range(kd * tr))
+
+    def body(widx, accs):
+        jy = widx // n_x
+        jx = xwin_lo + widx % n_x
+        ys = jnp.minimum(ymin + jy * ky, Hpad - (ky + 1))
+        xs = jx * KX
+        myw = (by - ymin) // ky == jy  # (kd, tr, 128)
+        a0 = x0 - xs
+        a1 = a0 + 1
+        xin = ((a0 >= 0) & (a0 < KX)) | ((a1 >= 0) & (a1 < KX))
+        in_win = myw & xin
+
+        def hit(_):
+            cached = (tag_ref[0] == 1) & (tag_ref[1] == ys) & (tag_ref[2] == xs)
+
+            @pl.when(jnp.logical_not(cached))
+            def _():
+                copy = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
+                )
+                copy.start()
+                copy.wait()
+                tag_ref[0] = 1
+                tag_ref[1] = ys
+                tag_ref[2] = xs
+
+            band_flat = band[...].reshape((ky + 1) * C, KX)
+            out = list(accs)
+            for od in range(kd):
+                w0 = (vx0[od] * myw[od]).reshape(1, tr * 128)
+                w1 = (vx1[od] * myw[od]).reshape(1, tr * 128)
+                a0r = a0[od].astype(jnp.float32).reshape(1, tr * 128)
+                a1r = a1[od].astype(jnp.float32).reshape(1, tr * 128)
+                mx = (
+                    jnp.where(kio_f == a0r, w0, 0.0)
+                    + jnp.where(kio_f == a1r, w1, 0.0)
+                ).astype(dtype)
+                tmp = jax.lax.dot_general(
+                    band_flat, mx, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # ((ky+1)·C, tr·128) fp32
+                for orow in range(tr):
+                    yl0 = (y0[od, orow] - ys).reshape(1, 128)
+                    om = (
+                        wy0[od, orow].reshape(1, 128) * (yl0 == riota)
+                        + wy1[od, orow].reshape(1, 128) * (yl0 + 1 == riota)
+                    )  # (ky+1, 128) fp32 2-hot y-lerp weights
+                    seg = tmp[:, orow * 128:(orow + 1) * 128].reshape(ky + 1, C, 128)
+                    acc = out[od * tr + orow]
+                    for r in range(ky + 1):
+                        acc = acc + seg[r] * om[r : r + 1]
+                    out[od * tr + orow] = acc
+            return tuple(out)
+
+        return jax.lax.cond(jnp.any(in_win), hit, lambda _: accs, None)
+
+    accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
+
+    for od in range(kd):
+        for orow in range(tr):
+            warped_bf = accs[od * tr + orow].astype(dtype)
+            ref_row = ref_ref[:, orow, :]  # (C, 128) bf16
+            out_ref[:, od, orow, :] = ref_row * warped_bf
+            prod = warped_bf.astype(jnp.float32) * ref_row.astype(jnp.float32)
+            acc_sim = prod[0:1]
+            for c in range(1, C):
+                acc_sim = acc_sim + prod[c : c + 1]
+            sim_ref[od, orow, :] = acc_sim[0]
+
+
+def prep_src_rows(src: jnp.ndarray, channels_first: bool = False) -> jnp.ndarray:
+    """source -> (H, C, W) bf16 row-major band source for the v7m kernel
+    (no x-pair packing: the MXU selection matrix addresses both corners)."""
+    if not channels_first:
+        src = jnp.moveaxis(src, -1, 0)  # (C, H, W)
+    return jnp.transpose(src.astype(jnp.bfloat16), (1, 0, 2))  # (H, C, W)
+
+
+def warp_pallas_v7m(
+    src_feat: jnp.ndarray,  # (C, H, W) channels-first (source view)
+    ref_feat: jnp.ndarray,  # (C, H_out, W_out) channels-first (reference view)
+    depth: jnp.ndarray,  # (D, H_out, W_out) per-pixel hypotheses (W_out padded ok)
+    rt: jnp.ndarray,  # (12,) fp32: rot (9, row-major) ++ trans (3)
+    w_valid: int,
+    ky: int = 8,
+    kd: int = 4,
+    tr: int = TR,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """MXU-contraction variant of :func:`warp_pallas_v6sdc` (same contract;
+    outputs agree to bf16 x-lerp-weight rounding, not bit-exact)."""
+    C, H, W = src_feat.shape
+    D, H_out, W_out = depth.shape
+    assert ref_feat.shape == (C, H_out, W_out), (ref_feat.shape, (C, H_out, W_out))
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    assert D % kd == 0, (D, kd)
+    rows = prep_src_rows(src_feat, channels_first=True)
+    Hp = ((H + ky - 1) // ky) * ky + 1
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        rows = jnp.pad(rows, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+
+    kernel = functools.partial(
+        _warp_kernel_v7m, H=H, W=W, Hpad=Hp, C=C, ky=ky, kd=kd, tr=tr,
+        dtype=dtype, w_valid=w_valid,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H_out // tr, W_out // 128, D // kd),
+        in_specs=[
+            pl.BlockSpec((kd, tr, 128), lambda y, x, d, rt: (d, y, x)),
+            pl.BlockSpec((C, tr, 128), lambda y, x, d, rt: (0, y, x)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, kd, tr, 128), lambda y, x, d, rt: (0, d, y, x)),
+            pl.BlockSpec((kd, tr, 128), lambda y, x, d, rt: (d, y, x)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ky + 1, C, KX), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((3,), jnp.int32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+            jax.ShapeDtypeStruct((D, H_out, W_out), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rt.astype(jnp.float32), depth.astype(jnp.float32), ref_feat, rows)
+
+
 def _warp_kernel_v6s_cached(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref,
                             band, sem, tag_ref, *, H, W, Hpad, C, ky, tr, dtype):
     """Per-view v6s grid step with the cross-step DMA window cache (grid runs

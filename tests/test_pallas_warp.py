@@ -253,6 +253,33 @@ def test_warp_pallas_v6sdc_matches_v6sd(w_valid):
     np.testing.assert_allclose(np.asarray(sim_c), np.asarray(sim), atol=0.25)
 
 
+def test_warp_pallas_v7m_matches_v6sdc():
+    """The MXU-contraction warp (x-select+lerp as a selection-matrix matmul,
+    y-mix on the VPU) matches the crossbar-gather kernel within the bf16
+    x-lerp-weight rounding it introduces (Mx is a bf16 MXU operand)."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v6sdc, warp_pallas_v7m
+
+    rng = np.random.default_rng(5)
+    H, W, C, D = 16, 128, 8, 4
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    rot = (np.eye(3) + 0.02 * rng.standard_normal((3, 3))).astype(np.float32)
+    rot[2, :2] *= 0.02
+    trans = (50.0 * rng.standard_normal(3)).astype(np.float32)
+    dep = rng.uniform(400.0, 600.0, (D, H, W)).astype(np.float32)
+    rt = jnp.asarray(np.concatenate([rot.ravel(), trans]))
+
+    a_ip, a_sim = warp_pallas_v6sdc(src, ref, jnp.asarray(dep), rt,
+                                    w_valid=120, interpret=True)
+    b_ip, b_sim = warp_pallas_v7m(src, ref, jnp.asarray(dep), rt,
+                                  w_valid=120, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(b_ip, np.float32), np.asarray(a_ip, np.float32), atol=0.08
+    )
+    np.testing.assert_allclose(np.asarray(b_sim), np.asarray(a_sim), atol=0.3)
+
+
 @pytest.mark.parametrize("gate", ["row", "odloop"])
 def test_warp_pallas_v6sdc_gate_variants_exact(gate):
     """The window-sweep gate variants (per-row cond skip / per-depth-plane
