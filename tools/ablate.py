@@ -33,10 +33,10 @@ CONFIGS = [
     # NEGATIVE results kept for the record (see CLAUDE.md): v6sdcg (per-row
     # cond gather skip) +277 ms/map; v6sdco (per-depth window loops)
     # +80 ms/map — the union sweep is converged.
-    # v7m (MXU-contraction warp) in-model A/B:
-    ("", "1:v7m,2:v7m,3:v7m"),
-    ("", "2:v7m"),
-    ("", "1:v7m"),
+    # per-stage cost-reg in-model attribution (v7m era):
+    "nocost1",
+    "nocost2",
+    "nocost3",
 ]
 
 
