@@ -146,10 +146,35 @@ def cost_reg_net_s2d(
     # stop_after: PROFILING ONLY (tools/bench_costreg.py --levels). Returns
     # the named intermediate so prefix deltas attribute per-level cost; the
     # shape contract below does not hold for truncated returns.
-    xs = to_s2d(x, b)
-    if stop_after == "s2d":
-        return xs
-    conv0, b0 = c("conv0", xs, b)
+    import os as _os
+
+    _front = _os.environ.get("CDS_COSTREG_FRONT", "")
+    if cfirst and _front.startswith("pallas"):
+        # A/B knob: run conv0 at its TRUE 27-tap FLOPs on the MXU
+        # (ops/pallas/conv3d.py) straight off the W-minor volume, skipping
+        # both the entry to_s2d relayout of x and conv0's ~7.1x s2d tap
+        # inflation; conv0's (O, D, h, w) output re-enters the s2d UNet.
+        from ..ops.pallas.conv3d import conv3d_front, fold_bn_into_conv3d
+
+        w_f, b_f = fold_bn_into_conv3d(p["conv0"]["conv"], p["conv0"]["bn"])
+        tr = next(t for t in (16, 24, 8) if h % t == 0)
+        y0 = conv3d_front(
+            x, w_f, b_f, kd=4 if D % 4 == 0 else 1, tr=tr,
+            interpret=_front == "pallas_interp",  # CPU-test knob
+        )
+        O0 = y0.shape[0]
+        y0r = y0.reshape(O0, D, h // b, b, w // b, b)
+        conv0 = jnp.transpose(y0r, (1, 2, 4, 3, 5, 0)).reshape(
+            1, D, h // b, w // b, b * b * O0
+        )
+        b0 = b
+        if stop_after in ("s2d", "conv0"):
+            return conv0
+    else:
+        xs = to_s2d(x, b)
+        if stop_after == "s2d":
+            return xs
+        conv0, b0 = c("conv0", xs, b)
     if stop_after == "conv0":
         return conv0
     y, b1 = c("conv1", conv0, b0, 2)

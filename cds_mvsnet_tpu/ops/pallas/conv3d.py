@@ -1,0 +1,147 @@
+"""Pallas TPU 3x3x3 conv (+ folded BN + ReLU) on W-minor cost volumes.
+
+The cost-reg UNet's full-resolution entry conv (CostRegNet conv0, reference
+models/module.py:270-315) is the single most expensive regularization layer.
+The XLA route runs it via the (h, w) space-to-depth form, which fixes the
+128-lane channel padding but inflates contraction FLOPs ~7.1x (3x3x3 taps
+replicated across b² phases). This kernel computes the conv at its TRUE tap
+count on the MXU instead:
+
+- the (C, D, h, w) bf16 volume is zero-padded ONCE outside the kernel by
+  (1, 1, 128) in (D, h, w) — the 128-lane x pad makes every halo window a
+  128-aligned lane slice, which is the only kind Mosaic can DMA;
+- each grid step DMAs a (C, kd+2, tr+2, 384) block, builds the two x-shifted
+  copies with a lane roll + aligned 128-slice, assembles the (9·C, tr·128)
+  im2col operand per (depth-out, x-shift) from static sublane views, and
+  accumulates three (O, 9C) @ (9C, tr·128) MXU matmuls in fp32;
+- bias add + ReLU fuse into the epilogue; eval BatchNorm is an affine map,
+  folded into (weight, bias) by :func:`fold_bn_into_conv3d` beforehand.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["conv3d_front", "fold_bn_into_conv3d"]
+
+
+def fold_bn_into_conv3d(conv_p, bn_p, eps: float = 1e-5):
+    """Fold an eval-mode BatchNorm3d into the conv: returns (w, bias) with
+    ``w (3,3,3,C,O)`` scaled per output channel and bias absorbing the BN
+    shift (reference module.py:80-121 Conv3d+BN semantics, bias-free conv)."""
+    w = conv_p["weight"]
+    gamma = bn_p["weight"]
+    beta = bn_p["bias"]
+    mean = bn_p["running_mean"]
+    var = bn_p["running_var"]
+    inv = gamma / jnp.sqrt(var.astype(jnp.float32) + eps)
+    w_f = w * inv  # (..., O) broadcast over the last axis
+    b_f = beta - mean * inv
+    return w_f, b_f
+
+
+def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
+                   *, C, O, kd, tr, dtype):
+    """One (kd, tr, 128) output tile: DMA the haloed block, three x-shift
+    matmuls per depth-out over the (9C, tr*128) im2col views."""
+    od_t = pl.program_id(0)
+    yt = pl.program_id(1)
+    xt = pl.program_id(2)
+
+    copy = pltpu.make_async_copy(
+        vol_hbm.at[
+            :,
+            pl.ds(od_t * kd, kd + 2),
+            pl.ds(yt * tr, tr + 2),
+            pl.ds(xt * 128, 384),
+        ],
+        block,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    blk0 = block[...]  # (C, kd+2, tr+2, 384) bf16
+    # x-shifted copies: the central 128 columns of the padded 384-lane block
+    # are [128, 256); rolling by -dx then slicing the SAME aligned window
+    # yields columns [128+dx, 256+dx) with no wraparound contamination.
+    shifted = (
+        pltpu.roll(blk0, 1, 3),    # dx = -1
+        blk0,                      # dx = 0
+        pltpu.roll(blk0, 383, 3),  # dx = +1 (pltpu.roll wants shift >= 0)
+    )
+
+    for od in range(kd):
+        acc = jnp.zeros((O, tr * 128), jnp.float32)
+        for sx, blk in enumerate(shifted):
+            rows = []
+            for dd in range(3):
+                for dy in range(3):
+                    rows.append(
+                        blk[:, od + dd, dy : dy + tr, 128:256].reshape(C, tr * 128)
+                    )
+            a = jnp.concatenate(rows, axis=0)  # (9C, tr*128)
+            acc = acc + jax.lax.dot_general(
+                wmat_ref[sx], a, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        acc = acc + bias_ref[...]  # (O, 1) broadcast
+        acc = jnp.maximum(acc, 0.0)
+        out_ref[:, od, :, :] = acc.reshape(O, tr, 128).astype(dtype)
+
+
+def conv3d_front(
+    vol: jnp.ndarray,  # (C, D, h, w) W-minor volume
+    weight: jnp.ndarray,  # (3, 3, 3, C, O) — (kd, ky, kx, in, out), BN folded
+    bias: jnp.ndarray,  # (O,)
+    kd: int = 4,
+    tr: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """3x3x3 same-padded conv + bias + ReLU: ``(C, D, h, w) -> (O, D, h, w)``.
+
+    Equals ``relu(conv3d(vol, weight) + bias)`` with zero padding (the
+    reference's Conv3d(padding=1)). Requires D % kd == 0 and h % tr == 0."""
+    C, D, h, w = vol.shape
+    O = weight.shape[-1]
+    assert weight.shape == (3, 3, 3, C, O), weight.shape
+    assert D % kd == 0 and h % tr == 0, (D, h, kd, tr)
+    Wp = ((w + 127) // 128) * 128
+    # one big pad: (1,1) halos in D/h and a full 128-lane halo in x so every
+    # kernel window is a 128-aligned lane slice of HBM
+    # x layout: padded col 128 + x holds vol x, so a tile's DMA window
+    # [xt*128, xt*128+384) is 128-aligned and covers the +-1 halo via the
+    # in-kernel roll; the right pad reaches the last tile's window end
+    volp = jnp.pad(
+        vol.astype(jnp.bfloat16),
+        ((0, 0), (1, 1), (1, 1), (128, (Wp - w) + 128)),
+    )
+    # weights as three (O, 9C) x-shift matrices, rows ordered (dd, dy, c)
+    wmat = jnp.transpose(weight.astype(jnp.bfloat16), (2, 4, 0, 1, 3)).reshape(
+        3, O, 9 * C
+    )
+    dtype = vol.dtype
+
+    kernel = functools.partial(_conv3d_kernel, C=C, O=O, kd=kd, tr=tr, dtype=dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(D // kd, h // tr, Wp // 128),
+        in_specs=[
+            pl.BlockSpec((3, O, 9 * C), lambda d, y, x: (0, 0, 0)),
+            pl.BlockSpec((O, 1), lambda d, y, x: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((O, kd, tr, 128), lambda d, y, x: (0, d, y, x)),
+        out_shape=jax.ShapeDtypeStruct((O, D, h, Wp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((C, kd + 2, tr + 2, 384), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(wmat, bias.astype(jnp.float32).reshape(O, 1), volp)
+    return out[..., :w]

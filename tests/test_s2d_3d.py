@@ -51,6 +51,22 @@ def test_cost_reg_net_s2d_matches_plain():
     np.testing.assert_allclose(np.asarray(got_cf), np.asarray(got), rtol=1e-6, atol=1e-6)
 
 
+def test_cost_reg_net_s2d_pallas_front(monkeypatch):
+    """CDS_COSTREG_FRONT=pallas routes conv0 through the MXU conv3d kernel
+    (BN folded into weights); the full UNet output must match the s2d path
+    within fp32-fold-vs-bf16-BN-chain tolerance."""
+    from cds_mvsnet_tpu.models.cost_reg import cost_reg_net_s2d, init_cost_reg_net
+
+    rng = np.random.default_rng(9)
+    p = init_cost_reg_net(jax.random.PRNGKey(0), in_channels=32, base_channels=8)
+    x = jnp.asarray(rng.standard_normal((1, 8, 32, 48, 32)).astype(np.float32))
+    x_cf = jnp.moveaxis(x[0], -1, 0)
+    want = cost_reg_net_s2d(p, x_cf, b=4, cfirst=True)
+    monkeypatch.setenv("CDS_COSTREG_FRONT", "pallas_interp")
+    got = cost_reg_net_s2d(p, x_cf, b=4, cfirst=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=4e-3, atol=4e-3)
+
+
 @pytest.mark.parametrize("b", [1, 2, 4])
 def test_s2d_deconv3d_matches_plain(b):
     rng = np.random.default_rng(b)
