@@ -37,6 +37,9 @@ CONFIGS = [
     "nocost1",
     "nocost2",
     "nocost3",
+    # Pallas MXU conv3d for the cost-reg entry conv (true 27-tap FLOPs vs
+    # the s2d form's ~7.1x inflation):
+    ("", "", {"CDS_COSTREG_FRONT": "pallas"}),
 ]
 
 
