@@ -50,8 +50,21 @@ def load_any_checkpoint(path: str):
     return convert_checkpoint(path)
 
 
+def _honor_jax_platforms_env():
+    """Make ``JAX_PLATFORMS=cpu python -m ...`` actually mean cpu: this
+    environment's sitecustomize pins jax_platforms at import, which silently
+    overrides the env var; re-applying it before any backend query restores
+    the documented semantics (and avoids hanging on a down TPU relay)."""
+    val = os.environ.get("JAX_PLATFORMS")
+    if val:
+        import jax
+
+        jax.config.update("jax_platforms", val)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _honor_jax_platforms_env()
 
     from ..config import ModelConfig
     from ..eval.depth_inference import save_depths

@@ -59,6 +59,10 @@ def main(argv=None):
 
     import jax
 
+    from .test_cli import _honor_jax_platforms_env
+
+    _honor_jax_platforms_env()
+
     from ..config import Config
     from ..models.cds_mvsnet import init_cds_mvsnet
     from ..parallel.mesh import replicate

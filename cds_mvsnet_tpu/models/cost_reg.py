@@ -157,7 +157,7 @@ def cost_reg_net_s2d(
         from ..ops.pallas.conv3d import conv3d_front, fold_bn_into_conv3d
 
         w_f, b_f = fold_bn_into_conv3d(p["conv0"]["conv"], p["conv0"]["bn"])
-        tr = next(t for t in (16, 24, 8) if h % t == 0)
+        tr = next(t for t in (32, 24, 16, 8) if h % t == 0)
         y0 = conv3d_front(
             x, w_f, b_f, kd=4 if D % 4 == 0 else 1, tr=tr,
             interpret=_front == "pallas_interp",  # CPU-test knob
