@@ -47,26 +47,49 @@ def fold_bn_into_conv3d(conv_p, bn_p, eps: float = 1e-5):
 
 def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
                    *, C, O, kd, tr, dtype):
-    """One (kd, tr, 128) output tile: DMA the haloed block, three x-shift
-    matmuls per depth-out over the (9C, tr*128) im2col views."""
+    """One (kd, tr, 128) output tile: double-buffered haloed-block DMA,
+    three x-shift matmuls per depth-out over the (9C, tr*128) im2col views.
+
+    The grid runs x innermost; each step waits on its own pre-issued block
+    and immediately issues the NEXT step's DMA into the other buffer, so the
+    transfer hides behind this step's rolls/matmuls (only the ~1 us issue
+    cost is serial)."""
     od_t = pl.program_id(0)
     yt = pl.program_id(1)
     xt = pl.program_id(2)
+    n_od = pl.num_programs(0)
+    n_y = pl.num_programs(1)
+    n_x = pl.num_programs(2)
+    step = (od_t * n_y + yt) * n_x + xt
+    slot = jax.lax.rem(step, 2)
 
-    copy = pltpu.make_async_copy(
-        vol_hbm.at[
-            :,
-            pl.ds(od_t * kd, kd + 2),
-            pl.ds(yt * tr, tr + 2),
-            pl.ds(xt * 128, 384),
-        ],
-        block,
-        sem,
-    )
-    copy.start()
-    copy.wait()
+    def mk_copy(od_i, y_i, x_i, s):
+        return pltpu.make_async_copy(
+            vol_hbm.at[
+                :,
+                pl.ds(od_i * kd, kd + 2),
+                pl.ds(y_i * tr, tr + 2),
+                pl.ds(x_i * 128, 384),
+            ],
+            block.at[s],
+            sem.at[s],
+        )
 
-    blk0 = block[...]  # (C, kd+2, tr+2, 384) bf16
+    @pl.when(step == 0)
+    def _():
+        mk_copy(od_t, yt, xt, 0).start()
+
+    mk_copy(od_t, yt, xt, slot).wait()
+
+    @pl.when(step + 1 < n_od * n_y * n_x)
+    def _():
+        nxt = step + 1
+        x2 = jax.lax.rem(nxt, n_x)
+        y2 = jax.lax.rem(nxt // n_x, n_y)
+        od2 = nxt // (n_x * n_y)
+        mk_copy(od2, y2, x2, 1 - slot).start()
+
+    blk0 = block[slot]  # (C, kd+2, tr+2, 384) bf16
     # x-shifted copies: the central 128 columns of the padded 384-lane block
     # are [128, 256); rolling by -dx then slicing the SAME aligned window
     # yields columns [128+dx, 256+dx) with no wraparound contamination.
@@ -139,8 +162,8 @@ def conv3d_front(
         out_specs=pl.BlockSpec((O, kd, tr, 128), lambda d, y, x: (0, d, y, x)),
         out_shape=jax.ShapeDtypeStruct((O, D, h, Wp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((C, kd + 2, tr + 2, 384), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, C, kd + 2, tr + 2, 384), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(wmat, bias.astype(jnp.float32).reshape(O, 1), volp)
