@@ -67,6 +67,30 @@ def test_cost_reg_net_s2d_pallas_front(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=4e-3, atol=4e-3)
 
 
+@pytest.mark.parametrize("kd,tr", [(1, 8), (2, 24), (4, 16)])
+def test_conv3d_front_tile_configs(kd, tr):
+    """The Pallas entry conv matches lax.conv at every tile configuration
+    the model's per-stage chooser can pick (kd in {1,2,4}, tr in
+    {8,16,24,32}), including non-128-multiple widths."""
+    from cds_mvsnet_tpu.ops.pallas.conv3d import conv3d_front
+
+    rng = np.random.default_rng(kd * 10 + tr)
+    C, O, D, h, w = 6, 8, 4, 48, 150
+    vol = jnp.asarray(rng.standard_normal((C, D, h, w)), jnp.float32).astype(jnp.bfloat16)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 3, C, O)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(O), jnp.float32)
+    x = jnp.transpose(vol, (1, 2, 3, 0))[None].astype(jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, wgt, (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    want = jax.nn.relu(want + bias)[0]
+    want = np.asarray(jnp.transpose(want, (3, 0, 1, 2)))
+    got = np.asarray(
+        conv3d_front(vol, wgt, bias, kd=kd, tr=tr, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.05)
+
+
 @pytest.mark.parametrize("b", [1, 2, 4])
 def test_s2d_deconv3d_matches_plain(b):
     rng = np.random.default_rng(b)
