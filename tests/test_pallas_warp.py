@@ -280,6 +280,29 @@ def test_warp_pallas_v7m_matches_v6sdc():
     np.testing.assert_allclose(np.asarray(b_sim), np.asarray(a_sim), atol=0.3)
 
 
+def test_warp_pallas_v7m_out_of_image_zeros():
+    """Hypotheses projecting entirely outside the source image (including
+    the -1e6 sentinel for padded lanes and tiny-z blowups) must produce
+    zero warped features and zero similarity — the corner weights vanish
+    and no selection-matrix column matches."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v7m
+
+    rng = np.random.default_rng(11)
+    H, W, C, D = 16, 128, 8, 4
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    # translation far beyond the image for every plane
+    rot = np.eye(3, dtype=np.float32)
+    trans = np.array([1e7, 1e7, 0.0], np.float32)
+    dep = rng.uniform(400.0, 600.0, (D, H, W)).astype(np.float32)
+    rt = jnp.asarray(np.concatenate([rot.ravel(), trans]))
+    in_prod, sim = warp_pallas_v7m(src, ref, jnp.asarray(dep), rt,
+                                   w_valid=120, interpret=True)
+    assert np.all(np.asarray(in_prod, np.float32) == 0.0)
+    assert np.all(np.asarray(sim) == 0.0)
+
+
 @pytest.mark.parametrize("gate", ["row", "odloop"])
 def test_warp_pallas_v6sdc_gate_variants_exact(gate):
     """The window-sweep gate variants (per-row cond skip / per-depth-plane
