@@ -51,6 +51,11 @@ class EvalDataset:
                 interval_scale[scan] if isinstance(interval_scale, dict) else interval_scale
             )
             for ref, srcs in read_pair_file(os.path.join(datapath, scan, "pair.txt")):
+                if not srcs:
+                    # Real COLMAP/T&T pair.txt files can contain views with no
+                    # matched sources; the reference skips them
+                    # (general_eval.py:49-54).
+                    continue
                 if len(srcs) < nviews:
                     srcs = srcs + [srcs[0]] * (nviews - len(srcs))
                 self.metas.append((scan, ref, srcs[: nviews - 1]))

@@ -149,7 +149,8 @@ def cost_reg_net_s2d(
     import os as _os
 
     _front = _os.environ.get("CDS_COSTREG_FRONT", "")
-    if cfirst and _front.startswith("pallas"):
+    _tr = next((t for t in (32, 24, 16, 8) if h % t == 0), None)
+    if cfirst and _front.startswith("pallas") and _tr is not None:
         # A/B knob: run conv0 at its TRUE 27-tap FLOPs on the MXU
         # (ops/pallas/conv3d.py) straight off the W-minor volume, skipping
         # both the entry to_s2d relayout of x and conv0's ~7.1x s2d tap
@@ -157,7 +158,7 @@ def cost_reg_net_s2d(
         from ..ops.pallas.conv3d import conv3d_front, fold_bn_into_conv3d
 
         w_f, b_f = fold_bn_into_conv3d(p["conv0"]["conv"], p["conv0"]["bn"])
-        tr = next(t for t in (32, 24, 16, 8) if h % t == 0)
+        tr = _tr  # falls back to the s2d branch when no tile height divides h
         y0 = conv3d_front(
             x, w_f, b_f, kd=4 if D % 4 == 0 else 1, tr=tr,
             interpret=_front == "pallas_interp",  # CPU-test knob

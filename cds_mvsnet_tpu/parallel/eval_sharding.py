@@ -53,9 +53,11 @@ def make_sharded_eval(
 ):
     """Jitted batched eval forward with the view batch sharded over ``data``.
 
-    Note: the B>1 batch disables the single-view Pallas fast path inside the
-    model (it requires B=1); per-chip batches of 1 (B == mesh size) keep it
-    when the feature_impl/backend conditions hold.
+    The body runs under ``shard_map`` so each per-chip program traces with
+    the LOCAL batch size (B / mesh size). With per-chip batches of 1
+    (B == mesh size) the single-view Pallas fast path inside the model stays
+    enabled — a plain jit with global-view sharding would trace with the
+    global B and silently route every chip down the slow XLA path.
     """
     from ..models.cds_mvsnet import apply_cds_mvsnet
 
@@ -63,8 +65,7 @@ def make_sharded_eval(
     repl = NamedSharding(mesh, P())
     params = jax.device_put(params, repl)
 
-    @jax.jit
-    def forward(imgs, proj_matrices, depth_values):
+    def local_fwd(params, imgs, proj_matrices, depth_values):
         outputs, _ = apply_cds_mvsnet(
             params, cfg, imgs, proj_matrices, depth_values,
             temperature=temperature, train=False,
@@ -72,12 +73,24 @@ def make_sharded_eval(
         )
         return outputs["refined_depth"], outputs["stage3"]["photometric_confidence"]
 
+    # Per-view depth inference needs zero collectives (SURVEY §2.3), so the
+    # shard_map body is exactly the single-chip program, replicated.
+    forward = jax.jit(
+        jax.shard_map(
+            local_fwd,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data"), P("data")),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+    )
+
     def run(imgs, proj_matrices, depth_values):
         n_dev = mesh.devices.size
         batch = {"imgs": imgs, "proj": proj_matrices, "dv": depth_values}
         batch, n = pad_to_multiple(batch, n_dev)
         batch = jax.device_put(batch, batch_sh)
-        depth, conf = forward(batch["imgs"], batch["proj"], batch["dv"])
+        depth, conf = forward(params, batch["imgs"], batch["proj"], batch["dv"])
         return depth[:n], conf[:n]
 
     return run

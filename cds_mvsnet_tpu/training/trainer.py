@@ -76,8 +76,17 @@ class Trainer:
             if epoch % self.train_cfg.eval_freq == 0 or epoch == self.train_cfg.epochs:
                 val = self._valid_epoch(epoch)
                 log.update({f"val_{k}": v for k, v in val.items()})
+                if self.monitor_mode != "off" and self.monitor_metric not in val:
+                    # A misspelled metric would otherwise degenerate (always-
+                    # improve in max mode / spurious early stop in min mode);
+                    # mirror base_trainer.py's KeyError branch: warn + disable.
+                    self.log(
+                        f"warning: monitor metric '{self.monitor_metric}' not in "
+                        f"validation metrics {sorted(val)}; monitoring disabled"
+                    )
+                    self.monitor_mode = "off"
                 if self.monitor_mode != "off":
-                    monitor = val.get(self.monitor_metric, float("inf"))
+                    monitor = val[self.monitor_metric]
                     improved = (
                         monitor < self.monitor_best
                         if self.monitor_mode == "min"

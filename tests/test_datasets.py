@@ -58,6 +58,20 @@ def test_eval_dataset_shapes_and_intrinsics(eval_scene):
     assert s["filename"] == "scan1/{}/00000000{}"
 
 
+def test_eval_dataset_skips_zero_source_metas(eval_scene):
+    # Append a ref view with an empty source list (real COLMAP/T&T pair.txt
+    # files contain these); the reference filters them (general_eval.py:49-54).
+    pair = eval_scene / "scan1" / "pair.txt"
+    lines = pair.read_text().strip().split("\n")
+    lines[0] = "5"
+    lines += ["4", "0"]
+    pair.write_text("\n".join(lines) + "\n")
+    ds = EvalDataset(str(eval_scene), ["scan1"], nviews=3, ndepths=64,
+                     max_h=256, max_w=320, dataset="dtu", refine=True)
+    assert len(ds) == 4  # the 0-source meta is dropped, not crashed on
+    assert all(len(m[2]) == 2 for m in ds.metas)
+
+
 def test_eval_dataset_no_refine_stages(eval_scene):
     ds = EvalDataset(str(eval_scene), ["scan1"], nviews=3, ndepths=64,
                      max_h=256, max_w=320, dataset="dtu", refine=False)
