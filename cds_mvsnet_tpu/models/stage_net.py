@@ -315,7 +315,7 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         # overrides keep the unfused path so their DCE semantics stay valid.
         fused = (
             use_kernel and bf16
-            and (route is None or route.startswith("v6s") or route.startswith("v7m"))
+            and (route is None or route.startswith(("v6s", "v7m", "v8")))
             and not any(
                 f"{k}{stage_idx + 1}" in _ablate for k in ("nowarp", "novis", "nocoords")
             )
@@ -335,10 +335,56 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 px_k = jnp.pad(px_k, pad, constant_values=-1e6)
                 py_k = jnp.pad(py_k, pad, constant_values=-1e6)
                 ref_k = jnp.pad(ref_t, ((0, 0), (0, 0), (0, Wp - w)))
-            # Route chain (first match wins): v7m (default), v6sdc, v6sd,
+            # Route chain (first match wins): v8 (default), v7m, v6sdc, v6sd,
             # v6s/v6sc/v6sky<N> — all depth-blocked per-view launches; the
             # older variants stay route-gated for A/B.
-            if route is None or route.startswith("v7m"):
+            ent_k = None
+            if route is not None and route.startswith("v8"):
+                # Route v8 (A/B candidate vs the v7m default): v7m +
+                # vectorized y-mix/epilogue + in-kernel online softmax
+                # entropy — the (D, h, w) fp32 sim stream and XLA's separate
+                # entropy pass disappear (the depth-innermost grid lets a
+                # flash-attention-style running (max, Σe, Σl·e) finish the
+                # softmax within one tile's visit sequence). Route grammar
+                # "v8[s][r][<kd>][y<ky>]": s = emit sim instead of entropy,
+                # r = v7m's per-row y-mix.
+                from ..ops.geometry import relative_warp_transform
+                from ..ops.pallas.warp import warp_pallas_v8
+
+                suffix = "" if route is None else route[len("v8"):]
+                emit_entropy = True
+                row_ymix = False
+                if suffix.startswith("s"):
+                    emit_entropy = False
+                    suffix = suffix[1:]
+                if suffix.startswith("r"):
+                    row_ymix = True
+                    suffix = suffix[1:]
+                kd_s, _, ky_s = suffix.partition("y")
+                kd = int(kd_s or 4)
+                if ky_s:
+                    ky = int(ky_s)
+                while D % kd:
+                    kd //= 2
+                rot, trans = relative_warp_transform(ref_cam, cams[:, v])
+                rt = jnp.concatenate(
+                    [rot[0].reshape(9), trans[0].reshape(3)]
+                ).astype(jnp.float32)
+                if depth_values.ndim == 2:
+                    dep = jnp.broadcast_to(depth_values[0][:, None, None], (D, h, w))
+                else:
+                    dep = depth_values[0]
+                if Wp != w:
+                    dep = jnp.pad(dep, ((0, 0), (0, 0), (0, Wp - w)))
+                in_prod, aux = warp_pallas_v8(
+                    src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky,
+                    kd=max(kd, 1), emit_entropy=emit_entropy, row_ymix=row_ymix,
+                )
+                if emit_entropy:
+                    ent_k, sim_k = aux, None
+                else:
+                    sim_k = aux
+            elif route is None or route.startswith("v7m"):
                 # DEFAULT route (v7m): MXU-contraction warp — x-select and
                 # x-lerp fold into a bf16 selection-matrix matmul with fp32
                 # accumulation; only the y-mix stays on the VPU. In-model
@@ -424,8 +470,14 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 )
             if Wp != w:
                 in_prod = in_prod[..., :w]
-                sim_k = sim_k[..., :w]
-            entropy = softmax_entropy(sim_k[None], axis=1)[:, 0]  # (1, h, w)
+                if sim_k is not None:
+                    sim_k = sim_k[..., :w]
+                if ent_k is not None:
+                    ent_k = ent_k[..., :w]
+            if ent_k is not None:  # v8 emitted the entropy map directly
+                entropy = ent_k[None]  # (1, h, w)
+            else:
+                entropy = softmax_entropy(sim_k[None], axis=1)[:, 0]  # (1, h, w)
             vis = _vis_head_s2d(
                 vis_params[str(stage_idx)], entropy.astype(ref_nc.dtype), ref_nc
             )  # (1, h, w)

@@ -7,13 +7,18 @@ The XLA route runs it via the (h, w) space-to-depth form, which fixes the
 replicated across b² phases). This kernel computes the conv at its TRUE tap
 count on the MXU instead:
 
-- the (C, D, h, w) bf16 volume is zero-padded ONCE outside the kernel by
-  (1, 1, 128) in (D, h, w) — the 128-lane x pad makes every halo window a
-  128-aligned lane slice, which is the only kind Mosaic can DMA;
-- each grid step DMAs a (C, kd+2, tr+2, 384) block, builds the two x-shifted
-  copies with a lane roll + aligned 128-slice, assembles the (9·C, tr·128)
-  im2col operand per (depth-out, x-shift) from static sublane views, and
-  accumulates three (O, 9C) @ (9C, tr·128) MXU matmuls in fp32;
+- the (C, D, h, w) bf16 volume is zero-padded by (1, 1) in (D, h) and
+  materialized as THREE x-shifted copies (dx = -1, 0, +1) by XLA — each
+  copy's kernel window is then a 128-aligned lane slice, the only kind
+  Mosaic can DMA, and no in-kernel lane shift is needed at all (Mosaic's
+  ``tpu.dynamic_rotate`` is unimplemented for non-32-bit data, so the
+  original lane-roll design failed remote compile — ablate r3 log). The
+  two extra copies cost ~2 XLA passes over the volume; per-tile DMA bytes
+  are unchanged (3 x 128-lane windows vs one 384-lane window);
+- each grid step DMAs a (3, C, kd+2, tr+2, 128) block and, per depth-out
+  and x-shift, assembles the (9·C, tr·128) im2col operand from static
+  sublane views (the proven-legal (C, tr, 128) -> (C, tr·128) lane merge),
+  accumulating three (O, 9C) @ (9C, tr·128) MXU matmuls in fp32;
 - bias add + ReLU fuse into the epilogue; eval BatchNorm is an affine map,
   folded into (weight, bias) by :func:`fold_bn_into_conv3d` beforehand.
 """
@@ -67,9 +72,10 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
         return pltpu.make_async_copy(
             vol_hbm.at[
                 :,
+                :,
                 pl.ds(od_i * kd, kd + 2),
                 pl.ds(y_i * tr, tr + 2),
-                pl.ds(x_i * 128, 384),
+                pl.ds(x_i * 128, 128),
             ],
             block.at[s],
             sem.at[s],
@@ -89,24 +95,16 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
         od2 = nxt // (n_x * n_y)
         mk_copy(od2, y2, x2, 1 - slot).start()
 
-    blk0 = block[slot]  # (C, kd+2, tr+2, 384) bf16
-    # x-shifted copies: the central 128 columns of the padded 384-lane block
-    # are [128, 256); rolling by -dx then slicing the SAME aligned window
-    # yields columns [128+dx, 256+dx) with no wraparound contamination.
-    shifted = (
-        pltpu.roll(blk0, 1, 3),    # dx = -1
-        blk0,                      # dx = 0
-        pltpu.roll(blk0, 383, 3),  # dx = +1 (pltpu.roll wants shift >= 0)
-    )
+    blk0 = block[slot]  # (3, C, kd+2, tr+2, 128) bf16, axis 0 = dx shift
 
     for od in range(kd):
         acc = jnp.zeros((O, tr * 128), jnp.float32)
-        for sx, blk in enumerate(shifted):
+        for sx in range(3):
             rows = []
             for dd in range(3):
                 for dy in range(3):
                     rows.append(
-                        blk[:, od + dd, dy : dy + tr, 128:256].reshape(C, tr * 128)
+                        blk0[sx, :, od + dd, dy : dy + tr, :].reshape(C, tr * 128)
                     )
             a = jnp.concatenate(rows, axis=0)  # (9C, tr*128)
             acc = acc + jax.lax.dot_general(
@@ -114,8 +112,12 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
                 preferred_element_type=jnp.float32,
             )
         acc = acc + bias_ref[...]  # (O, 1) broadcast
-        acc = jnp.maximum(acc, 0.0)
-        out_ref[:, od, :, :] = acc.reshape(O, tr, 128).astype(dtype)
+        acc = jnp.maximum(acc, 0.0).astype(dtype)
+        # per-row aligned lane slices (lane-dim SPLIT reshapes are an
+        # unproven Mosaic relayout; merges like the .reshape above ship in
+        # the v7m warp kernel)
+        for orow in range(tr):
+            out_ref[:, od, orow, :] = acc[:, orow * 128:(orow + 1) * 128]
 
 
 def conv3d_front(
@@ -135,15 +137,19 @@ def conv3d_front(
     assert weight.shape == (3, 3, 3, C, O), weight.shape
     assert D % kd == 0 and h % tr == 0, (D, h, kd, tr)
     Wp = ((w + 127) // 128) * 128
-    # one big pad: (1,1) halos in D/h and a full 128-lane halo in x so every
-    # kernel window is a 128-aligned lane slice of HBM
-    # x layout: padded col 128 + x holds vol x, so a tile's DMA window
-    # [xt*128, xt*128+384) is 128-aligned and covers the +-1 halo via the
-    # in-kernel roll; the right pad reaches the last tile's window end
+    # (1,1) halos in D/h; the x halo is realized as three pre-shifted copies
+    # so every kernel DMA window is 128-aligned (see module docstring)
     volp = jnp.pad(
-        vol.astype(jnp.bfloat16),
-        ((0, 0), (1, 1), (1, 1), (128, (Wp - w) + 128)),
+        vol.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, Wp - w))
     )
+    z = jnp.zeros_like(volp[..., :1])
+    vol3 = jnp.stack(
+        [
+            jnp.concatenate([z, volp[..., :-1]], axis=-1),  # dx=-1: v[x-1]
+            volp,
+            jnp.concatenate([volp[..., 1:], z], axis=-1),  # dx=+1: v[x+1]
+        ]
+    )  # (3, C, D+2, h+2, Wp)
     # weights as three (O, 9C) x-shift matrices, rows ordered (dd, dy, c)
     wmat = jnp.transpose(weight.astype(jnp.bfloat16), (2, 4, 0, 1, 3)).reshape(
         3, O, 9 * C
@@ -162,9 +168,9 @@ def conv3d_front(
         out_specs=pl.BlockSpec((O, kd, tr, 128), lambda d, y, x: (0, d, y, x)),
         out_shape=jax.ShapeDtypeStruct((O, D, h, Wp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, C, kd + 2, tr + 2, 384), jnp.bfloat16),
+            pltpu.VMEM((2, 3, C, kd + 2, tr + 2, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(wmat, bias.astype(jnp.float32).reshape(O, 1), volp)
+    )(wmat, bias.astype(jnp.float32).reshape(O, 1), vol3)
     return out[..., :w]

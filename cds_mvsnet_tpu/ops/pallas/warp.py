@@ -1454,6 +1454,262 @@ def warp_pallas_v7m(
     )(rt.astype(jnp.float32), depth.astype(jnp.float32), ref_feat, rows)
 
 
+def _warp_kernel_v8(rt_ref, dep_ref, ref_ref, src_hbm, out_ref, ent_ref,
+                    band, sem, tag_ref, m_ref, s_ref, u_ref, *, H, W, Hpad, C,
+                    ky, kd, tr, dtype, w_valid, nd, emit_entropy, row_ymix):
+    """v7m successor: MXU x-contraction + two independently-measurable moves.
+
+    1. Vectorized y-mix/epilogue (``row_ymix=False``): v7m's per-output-row
+       unrolled y-lerp (kd·tr slice/compare/accumulate sequences per window
+       visit) becomes ONE (ky+1, tr·128)-wide 2-hot build and ky+1 FMAs of
+       (C, tr·128) per depth plane — identical flops, ~8x fewer VPU
+       instruction issues, and the accumulators live flat in (C, tr·128).
+    2. In-kernel online softmax entropy (``emit_entropy=True``): the grid is
+       depth-innermost, so a flash-attention-style running (max, Σe^l, Σl·e^l)
+       over the tile's D planes finishes the similarity softmax entropy
+       -Σp·log p = (m + log s) − u/s inside the kernel. The (D, h, w) fp32
+       sim stream to HBM and XLA's separate softmax-entropy pass over it both
+       disappear; the kernel emits the (h, w) entropy map the vis head
+       consumes directly (reference model.py:49-50 semantics).
+    """
+    first = (
+        (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
+    )
+
+    @pl.when(first)
+    def _():
+        tag_ref[0] = -1
+        tag_ref[1] = -1
+        tag_ref[2] = -1
+
+    if emit_entropy:
+        @pl.when(pl.program_id(2) == 0)
+        def _():
+            m_ref[...] = jnp.full((tr, 128), -1e30, jnp.float32)
+            s_ref[...] = jnp.zeros((tr, 128), jnp.float32)
+            u_ref[...] = jnp.zeros((tr, 128), jnp.float32)
+
+    yt = pl.program_id(0)
+    xt = pl.program_id(1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 0).astype(jnp.float32)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (tr, 128), 1).astype(jnp.float32)
+    X = xt.astype(jnp.float32) * 128.0 + jj
+    Y = yt.astype(jnp.float32) * float(tr) + ii
+    L0 = rt_ref[0] * X + rt_ref[1] * Y + rt_ref[2]
+    L1 = rt_ref[3] * X + rt_ref[4] * Y + rt_ref[5]
+    L2 = rt_ref[6] * X + rt_ref[7] * Y + rt_ref[8]
+    dep = dep_ref[...].astype(jnp.float32)  # (kd, tr, 128)
+    z = L2[None] * dep + rt_ref[11] + 1e-6
+    px = (L0[None] * dep + rt_ref[9]) / z
+    py = (L1[None] * dep + rt_ref[10]) / z
+    pad = jnp.broadcast_to((X >= float(w_valid))[None], px.shape)
+    px = jnp.where(pad, -1e6, px)
+    py = jnp.where(pad, -1e6, py)
+
+    x0f = jnp.floor(px)
+    y0f = jnp.floor(py)
+    tx = px - x0f
+    ty = py - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    bx = jnp.clip(x0, 0, W - 2)
+    by = jnp.clip(y0, 0, H - 2)
+
+    vx0 = ((x0 >= 0) & (x0 < W)).astype(jnp.float32) * (1 - tx)
+    vx1 = ((x0 + 1 >= 0) & (x0 + 1 < W)).astype(jnp.float32) * tx
+    wy0 = ((y0 >= 0) & (y0 < H)).astype(jnp.float32) * (1 - ty)
+    wy1 = ((y0 + 1 >= 0) & (y0 + 1 < H)).astype(jnp.float32) * ty
+
+    ymin = jnp.min(by)
+    n_y = (jnp.max(by) - ymin) // ky + 1
+    xwin_lo = jnp.min(bx) // KX
+    n_x = jnp.max(bx + 1) // KX - xwin_lo + 1
+
+    # fp32 domain for the one-hot builds (Mosaic: no bf16 compares; int32 i1
+    # masks can't feed bf16 selects — see _warp_kernel_v7m)
+    kio_f = jax.lax.broadcasted_iota(jnp.int32, (KX, tr * 128), 0).astype(jnp.float32)
+    riota2 = jax.lax.broadcasted_iota(jnp.int32, (ky + 1, tr * 128), 0)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (ky + 1, 128), 0)
+    zero = jnp.zeros((C, tr * 128), jnp.float32)
+    acc0 = tuple(zero for _ in range(kd))
+
+    def body(widx, accs):
+        jy = widx // n_x
+        jx = xwin_lo + widx % n_x
+        ys = jnp.minimum(ymin + jy * ky, Hpad - (ky + 1))
+        xs = jx * KX
+        myw = (by - ymin) // ky == jy  # (kd, tr, 128)
+        a0 = x0 - xs
+        a1 = a0 + 1
+        xin = ((a0 >= 0) & (a0 < KX)) | ((a1 >= 0) & (a1 < KX))
+        in_win = myw & xin
+
+        def hit(_):
+            cached = (tag_ref[0] == 1) & (tag_ref[1] == ys) & (tag_ref[2] == xs)
+
+            @pl.when(jnp.logical_not(cached))
+            def _():
+                copy = pltpu.make_async_copy(
+                    src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
+                )
+                copy.start()
+                copy.wait()
+                tag_ref[0] = 1
+                tag_ref[1] = ys
+                tag_ref[2] = xs
+
+            band_flat = band[...].reshape((ky + 1) * C, KX)
+            out = list(accs)
+            for od in range(kd):
+                w0 = (vx0[od] * myw[od]).reshape(1, tr * 128)
+                w1 = (vx1[od] * myw[od]).reshape(1, tr * 128)
+                a0r = a0[od].astype(jnp.float32).reshape(1, tr * 128)
+                a1r = a1[od].astype(jnp.float32).reshape(1, tr * 128)
+                mx = (
+                    jnp.where(kio_f == a0r, w0, 0.0)
+                    + jnp.where(kio_f == a1r, w1, 0.0)
+                ).astype(dtype)
+                tmp = jax.lax.dot_general(
+                    band_flat, mx, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # ((ky+1)·C, tr·128) fp32
+                acc = out[od]
+                if row_ymix:  # v7m's per-row form (A/B knob)
+                    for orow in range(tr):
+                        yl0 = (y0[od, orow] - ys).reshape(1, 128)
+                        om = (
+                            wy0[od, orow].reshape(1, 128) * (yl0 == riota)
+                            + wy1[od, orow].reshape(1, 128) * (yl0 + 1 == riota)
+                        )
+                        seg = tmp[:, orow * 128:(orow + 1) * 128].reshape(ky + 1, C, 128)
+                        sub = acc[:, orow * 128:(orow + 1) * 128]
+                        for r in range(ky + 1):
+                            sub = sub + seg[r] * om[r : r + 1]
+                        acc = jax.lax.dynamic_update_slice(acc, sub, (0, orow * 128))
+                else:
+                    yl0 = (y0[od] - ys).reshape(1, tr * 128)
+                    om_all = (
+                        wy0[od].reshape(1, tr * 128) * (yl0 == riota2)
+                        + wy1[od].reshape(1, tr * 128) * (yl0 + 1 == riota2)
+                    )  # (ky+1, tr·128) fp32 2-hot y-lerp weights
+                    for r in range(ky + 1):
+                        acc = acc + tmp[r * C:(r + 1) * C, :] * om_all[r : r + 1]
+                out[od] = acc
+            return tuple(out)
+
+        return jax.lax.cond(jnp.any(in_win), hit, lambda _: accs, None)
+
+    accs = jax.lax.fori_loop(0, n_y * n_x, body, acc0)
+
+    # Epilogue in v7m's per-row form: lane-dim splits ((C, tr·128) ->
+    # (C, tr, 128)) are a Mosaic relayout risk, while static 128-aligned lane
+    # slices + integer-indexed ref writes are proven legal (v7m ships them).
+    for od in range(kd):
+        acc = accs[od]  # (C, tr·128) fp32
+        for orow in range(tr):
+            a_row = acc[:, orow * 128:(orow + 1) * 128]  # (C, 128) fp32
+            warped_bf = a_row.astype(dtype)
+            ref_row = ref_ref[:, orow, :]  # (C, 128) bf16
+            out_ref[:, od, orow, :] = ref_row * warped_bf
+            # sim from the bf16-quantized warped value, exactly as v7m does
+            prod = warped_bf.astype(jnp.float32) * ref_row.astype(jnp.float32)
+            sim = prod[0:1]
+            for c in range(1, C):
+                sim = sim + prod[c : c + 1]  # (1, 128)
+            if emit_entropy:
+                m_old = m_ref[orow : orow + 1, :]
+                m_new = jnp.maximum(m_old, sim)
+                alpha = jnp.exp(m_old - m_new)
+                e = jnp.exp(sim - m_new)
+                s_ref[orow : orow + 1, :] = s_ref[orow : orow + 1, :] * alpha + e
+                u_ref[orow : orow + 1, :] = (
+                    u_ref[orow : orow + 1, :] * alpha + sim * e
+                )
+                m_ref[orow : orow + 1, :] = m_new
+            else:
+                ent_ref[od, orow, :] = sim[0]  # sim mode: ent_ref (kd, tr, 128)
+
+    if emit_entropy:
+        @pl.when(pl.program_id(2) == nd - 1)
+        def _():
+            s = s_ref[...]
+            ent_ref[...] = (m_ref[...] + jnp.log(s)) - u_ref[...] / s
+
+
+def warp_pallas_v8(
+    src_feat: jnp.ndarray,  # (C, H, W) channels-first (source view)
+    ref_feat: jnp.ndarray,  # (C, H_out, W_out) channels-first (reference view)
+    depth: jnp.ndarray,  # (D, H_out, W_out) per-pixel hypotheses (W_out padded ok)
+    rt: jnp.ndarray,  # (12,) fp32: rot (9, row-major) ++ trans (3)
+    w_valid: int,
+    ky: int = 8,
+    kd: int = 4,
+    tr: int = TR,
+    emit_entropy: bool = True,
+    row_ymix: bool = False,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """v7m successor (see :func:`_warp_kernel_v8`). Returns
+    ``(in_prod (C, D, H_out, W_out), entropy (H_out, W_out) fp32)`` when
+    ``emit_entropy`` (the default), else ``(in_prod, sim (D, H_out, W_out))``
+    exactly like :func:`warp_pallas_v7m`."""
+    C, H, W = src_feat.shape
+    D, H_out, W_out = depth.shape
+    assert ref_feat.shape == (C, H_out, W_out), (ref_feat.shape, (C, H_out, W_out))
+    assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
+    assert D % kd == 0, (D, kd)
+    rows = prep_src_rows(src_feat, channels_first=True)
+    Hp = ((H + ky - 1) // ky) * ky + 1
+    Wp = ((W + 127) // 128) * 128
+    if (Hp, Wp) != (H, W):
+        rows = jnp.pad(rows, ((0, Hp - H), (0, 0), (0, Wp - W)))
+    dtype = src_feat.dtype
+    nd = D // kd
+
+    kernel = functools.partial(
+        _warp_kernel_v8, H=H, W=W, Hpad=Hp, C=C, ky=ky, kd=kd, tr=tr,
+        dtype=dtype, w_valid=w_valid, nd=nd, emit_entropy=emit_entropy,
+        row_ymix=row_ymix,
+    )
+    if emit_entropy:
+        ent_spec = pl.BlockSpec((tr, 128), lambda y, x, d, rt: (y, x))
+        ent_shape = jax.ShapeDtypeStruct((H_out, W_out), jnp.float32)
+    else:
+        ent_spec = pl.BlockSpec((kd, tr, 128), lambda y, x, d, rt: (d, y, x))
+        ent_shape = jax.ShapeDtypeStruct((D, H_out, W_out), jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(H_out // tr, W_out // 128, nd),
+        in_specs=[
+            pl.BlockSpec((kd, tr, 128), lambda y, x, d, rt: (d, y, x)),
+            pl.BlockSpec((C, tr, 128), lambda y, x, d, rt: (0, y, x)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((C, kd, tr, 128), lambda y, x, d, rt: (0, d, y, x)),
+            ent_spec,
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((ky + 1, C, KX), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.VMEM((tr, 128), jnp.float32),
+            pltpu.VMEM((tr, 128), jnp.float32),
+            pltpu.VMEM((tr, 128), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((C, D, H_out, W_out), dtype),
+            ent_shape,
+        ],
+        interpret=interpret,
+    )(rt.astype(jnp.float32), depth.astype(jnp.float32), ref_feat, rows)
+
+
 def _warp_kernel_v6s_cached(px_ref, py_ref, ref_ref, src_hbm, out_ref, sim_ref,
                             band, sem, tag_ref, *, H, W, Hpad, C, ky, tr, dtype):
     """Per-view v6s grid step with the cross-step DMA window cache (grid runs

@@ -14,6 +14,7 @@ __all__ = [
     "stage_resolutions",
     "textured_plane_batch",
     "sphere_scene",
+    "sphere_train_batch",
     "write_eval_scene",
 ]
 
@@ -308,3 +309,57 @@ def write_eval_scene(root, scan: str, scene: dict, ndepths: int = 192) -> None:
         lines.append(f"{len(srcs)} " + " ".join(f"{s} 10.0" for s in srcs))
     with open(os.path.join(scan_dir, "pair.txt"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
+
+
+def sphere_train_batch(scene: dict, ref_view: int, src_views, D: int = 48,
+                       refine: bool = True):
+    """Build one training-style sample (B=1) from a ``sphere_scene``.
+
+    Emits the exact dataset pytree (imgs, per-stage packed cams, depth_values,
+    GT depth/mask pyramids — SURVEY §2.2 dtu_yao.py contract) so the Trainer
+    can overfit a real multi-view-consistent scene: unlike ``synthetic_batch``
+    (random images + random GT), here the photometric evidence actually
+    supports the ground truth, so loss-goes-down is a meaningful training
+    signal (VERDICT r2 weak #7).
+    """
+    views = [ref_view, *src_views]
+    imgs = scene["imgs"][views][None]  # (1, V, H, W, 3)
+    cams = scene["cams"][views]  # (V, 2, 4, 4)
+    _, _, H, W, _ = imgs.shape
+
+    res = stage_resolutions(H, W, refine)
+    proj = {}
+    for stage, (h_s, w_s) in res.items():
+        m = cams.copy()
+        m[:, 1, 0, :] *= w_s / W
+        m[:, 1, 1, :] *= h_s / H
+        proj[stage] = m[None]
+
+    depth_values = np.linspace(
+        scene["depth_min"], scene["depth_max"], D, dtype=np.float32
+    )[None]
+
+    gt_full = scene["gt_depth"][ref_view]  # (H, W) exact z-depth
+    wh, ww = (H // 2, W // 2) if refine else (H, W)
+    gt_res = {
+        "stage1": (wh // 4, ww // 4),
+        "stage2": (wh // 2, ww // 2),
+        "stage3": (wh, ww),
+        "stage4": (H, W) if refine else (wh, ww),
+    }
+    depth_ms, mask_ms = {}, {}
+    for stage, (h_s, w_s) in gt_res.items():
+        sy, sx = H // h_s, W // w_s
+        d = gt_full[::sy, ::sx][None].astype(np.float32)
+        depth_ms[stage] = d
+        mask_ms[stage] = (
+            (d > scene["depth_min"]) & (d < scene["depth_max"])
+        ).astype(np.float32)
+
+    return {
+        "imgs": imgs,
+        "proj_matrices": proj,
+        "depth_values": depth_values,
+        "depth": depth_ms,
+        "mask": mask_ms,
+    }

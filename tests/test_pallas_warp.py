@@ -378,3 +378,84 @@ def test_warp_pallas_v6s_batched_matches_per_view(dma_cache):
             np.asarray(in_prod_b[v], np.float32), np.asarray(in_prod, np.float32)
         )
         np.testing.assert_array_equal(np.asarray(sim_b[v]), np.asarray(sim))
+
+
+@pytest.mark.parametrize("row_ymix", [False, True])
+def test_warp_pallas_v8_matches_v7m(row_ymix):
+    """v8's vectorized y-mix (and its row_ymix A/B knob) reproduces v7m's
+    in_prod and sim bit-for-bit in sim-emitting mode — the contraction and
+    weights are identical, only the instruction shapes change."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v7m, warp_pallas_v8
+
+    rng = np.random.default_rng(17)
+    H, W, C, D = 16, 128, 8, 4
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    rot = (np.eye(3) + 0.02 * rng.standard_normal((3, 3))).astype(np.float32)
+    rot[2, :2] *= 0.02
+    trans = (50.0 * rng.standard_normal(3)).astype(np.float32)
+    dep = rng.uniform(400.0, 600.0, (D, H, W)).astype(np.float32)
+    rt = jnp.asarray(np.concatenate([rot.ravel(), trans]))
+
+    a_ip, a_sim = warp_pallas_v7m(src, ref, jnp.asarray(dep), rt,
+                                  w_valid=120, interpret=True)
+    b_ip, b_sim = warp_pallas_v8(src, ref, jnp.asarray(dep), rt,
+                                 w_valid=120, emit_entropy=False,
+                                 row_ymix=row_ymix, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b_ip, np.float32),
+                                  np.asarray(a_ip, np.float32))
+    np.testing.assert_allclose(np.asarray(b_sim), np.asarray(a_sim),
+                               rtol=0, atol=1e-5)
+
+
+def test_warp_pallas_v8_entropy_matches_xla():
+    """v8's in-kernel online softmax entropy equals softmax_entropy(sim)
+    computed by XLA from the same kernel's sim output (fp32 rounding only)."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v8
+    from cds_mvsnet_tpu.ops.sampling import softmax_entropy
+
+    rng = np.random.default_rng(29)
+    H, W, C, D = 16, 128, 8, 8
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    rot = (np.eye(3) + 0.02 * rng.standard_normal((3, 3))).astype(np.float32)
+    rot[2, :2] *= 0.02
+    trans = (50.0 * rng.standard_normal(3)).astype(np.float32)
+    dep = rng.uniform(400.0, 600.0, (D, H, W)).astype(np.float32)
+    rt = jnp.asarray(np.concatenate([rot.ravel(), trans]))
+
+    ip_s, sim = warp_pallas_v8(src, ref, jnp.asarray(dep), rt, w_valid=120,
+                               emit_entropy=False, interpret=True)
+    ip_e, ent = warp_pallas_v8(src, ref, jnp.asarray(dep), rt, w_valid=120,
+                               emit_entropy=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ip_e, np.float32),
+                                  np.asarray(ip_s, np.float32))
+    want = np.asarray(softmax_entropy(jnp.asarray(sim)[None], axis=1)[0, 0])
+    np.testing.assert_allclose(np.asarray(ent), want, rtol=1e-5, atol=1e-5)
+
+
+def test_warp_pallas_v8_multiblock_entropy():
+    """kd < D: the online (m, s, u) state must carry correctly across the
+    tile's multiple depth grid-steps (kd=2 over D=8 -> 4 visits/tile)."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v8
+    from cds_mvsnet_tpu.ops.sampling import softmax_entropy
+
+    rng = np.random.default_rng(31)
+    H, W, C, D = 16, 128, 8, 8
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    rot = (np.eye(3) + 0.02 * rng.standard_normal((3, 3))).astype(np.float32)
+    rot[2, :2] *= 0.02
+    trans = (50.0 * rng.standard_normal(3)).astype(np.float32)
+    dep = rng.uniform(400.0, 600.0, (D, H, W)).astype(np.float32)
+    rt = jnp.asarray(np.concatenate([rot.ravel(), trans]))
+
+    _, sim = warp_pallas_v8(src, ref, jnp.asarray(dep), rt, w_valid=120,
+                            kd=2, emit_entropy=False, interpret=True)
+    _, ent = warp_pallas_v8(src, ref, jnp.asarray(dep), rt, w_valid=120,
+                            kd=2, emit_entropy=True, interpret=True)
+    want = np.asarray(softmax_entropy(jnp.asarray(sim)[None], axis=1)[0, 0])
+    np.testing.assert_allclose(np.asarray(ent), want, rtol=1e-5, atol=1e-5)

@@ -27,20 +27,38 @@ H, W, V, D = 864, 1152, 5, 192
 
 # entries: an CDS_ABLATE string, ("ablate", "route") with route setting
 # CDS_WARP_ROUTE (in-model warp-variant A/B), or ("ablate", "route", {env})
-# for arbitrary extra env knobs (cleared between configs)
-CONFIGS = [
-    "",  # baseline = v6sdc kd=4, ky=(16,16,8) (current default)
-    # NEGATIVE results kept for the record (see CLAUDE.md): v6sdcg (per-row
-    # cond gather skip) +277 ms/map; v6sdco (per-depth window loops)
-    # +80 ms/map — the union sweep is converged.
-    # per-stage cost-reg in-model attribution (v7m era):
-    "nocost1",
-    "nocost2",
-    "nocost3",
-    # Pallas MXU conv3d for the cost-reg entry conv (true 27-tap FLOPs vs
-    # the s2d form's ~7.1x inflation):
-    ("", "", {"CDS_COSTREG_FRONT": "pallas"}),
-]
+# for arbitrary extra env knobs (cleared between configs). Override the list
+# with CDS_ABLATE_SET=<name> (groups below).
+CONFIG_SETS = {
+    # r3 opening run: conv3d front A/B + per-stage cost attribution
+    "costreg": [
+        "",  # baseline = v7m kd=4, ky=(16,16,8) (current default)
+        # NEGATIVE results kept for the record (see CLAUDE.md): v6sdcg
+        # (per-row cond gather skip) +277 ms/map; v6sdco (per-depth window
+        # loops) +80 ms/map — the union sweep is converged.
+        "nocost1",
+        "nocost2",
+        "nocost3",
+        # Pallas MXU conv3d for the cost-reg entry conv (true 27-tap FLOPs
+        # vs the s2d form's ~7.1x inflation):
+        ("", "", {"CDS_COSTREG_FRONT": "pallas"}),
+    ],
+    # r3 warp-kernel A/B: v8 (vectorized y-mix + in-kernel online entropy)
+    # vs the v7m default, with knobs isolated, plus the C>=16 XLA-crossover
+    # re-check VERDICT r2 #3 asked for.
+    "v8": [
+        "",  # v7m everywhere (default)
+        ("", "1:v8,2:v8,3:v8"),     # entropy + vectorized y-mix
+        ("", "1:v8r,2:v8r,3:v8r"),  # entropy + v7m's per-row y-mix
+        ("", "1:v8s,2:v8s,3:v8s"),  # sim out + vectorized y-mix
+        ("", "1:xla"),              # stage1 (C=32) XLA packed-gather route
+        ("", "2:xla"),              # stage2 (C=16) XLA packed-gather route
+        # conv3d front, re-fixed (x-shift copies instead of the bf16 roll
+        # Mosaic rejected):
+        ("", "", {"CDS_COSTREG_FRONT": "pallas"}),
+    ],
+}
+CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
 
 
 def main():
