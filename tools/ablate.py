@@ -49,7 +49,10 @@ CONFIG_SETS = {
     "v8": [
         "",  # v7m everywhere (default)
         ("", "1:v8,2:v8,3:v8"),     # entropy + vectorized y-mix
-        ("", "1:v8r,2:v8r,3:v8r"),  # entropy + v7m's per-row y-mix
+        # v8r (per-row y-mix + entropy) dropped: its dynamic_update_slice
+        # inside lax.cond doesn't lower on this Mosaic version, and the
+        # attribution is complete without it (baseline<->v8s isolates the
+        # y-mix; v8s<->v8 isolates the entropy fold).
         ("", "1:v8s,2:v8s,3:v8s"),  # sim out + vectorized y-mix
         ("", "1:xla"),              # stage1 (C=32) XLA packed-gather route
         ("", "2:xla"),              # stage2 (C=16) XLA packed-gather route
