@@ -339,13 +339,13 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
             # v6s/v6sc/v6sky<N> — all depth-blocked per-view launches; the
             # older variants stay route-gated for A/B.
             ent_k = None
-            if route is not None and route.startswith("v8"):
-                # Route v8 (A/B candidate vs the v7m default): v7m +
-                # vectorized y-mix/epilogue + in-kernel online softmax
-                # entropy — the (D, h, w) fp32 sim stream and XLA's separate
-                # entropy pass disappear (the depth-innermost grid lets a
-                # flash-attention-style running (max, Σe, Σl·e) finish the
-                # softmax within one tile's visit sequence). Route grammar
+            if route is None or route.startswith("v8"):
+                # DEFAULT route (v8, on-device A/B r3: 369.5 vs v7m 371.8
+                # ms/map): v7m + vectorized y-mix/epilogue + in-kernel online
+                # softmax entropy — the (D, h, w) fp32 sim stream and XLA's
+                # separate entropy pass disappear (the depth-innermost grid
+                # lets a flash-attention-style running (max, Σe, Σl·e) finish
+                # the softmax within one tile's visit sequence). Route grammar
                 # "v8[s][r][<kd>][y<ky>]": s = emit sim instead of entropy,
                 # r = v7m's per-row y-mix.
                 from ..ops.geometry import relative_warp_transform
@@ -384,8 +384,8 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                     ent_k, sim_k = aux, None
                 else:
                     sim_k = aux
-            elif route is None or route.startswith("v7m"):
-                # DEFAULT route (v7m): MXU-contraction warp — x-select and
+            elif route.startswith("v7m"):
+                # v7m (default until r3): MXU-contraction warp — x-select and
                 # x-lerp fold into a bf16 selection-matrix matmul with fp32
                 # accumulation; only the y-mix stays on the VPU. In-model
                 # −80.3 ms/map vs v6sdc (ablate, same-process: stage2 −54.8,
