@@ -149,9 +149,12 @@ def cost_reg_net_s2d(
     import os as _os
 
     _front = _os.environ.get("CDS_COSTREG_FRONT", "")
+    if not _front and jax.default_backend() in ("tpu", "axon"):
+        _front = "pallas"  # DEFAULT since r3: in-model −29.0 ms/map (ablate
+        # set r3conv, 368.8 -> 339.8; opt out with CDS_COSTREG_FRONT=s2d)
     _tr = next((t for t in (32, 24, 16, 8) if h % t == 0), None)
     if cfirst and _front.startswith("pallas") and _tr is not None:
-        # A/B knob: run conv0 at its TRUE 27-tap FLOPs on the MXU
+        # Run conv0 at its TRUE 27-tap FLOPs on the MXU
         # (ops/pallas/conv3d.py) straight off the W-minor volume, skipping
         # both the entry to_s2d relayout of x and conv0's ~7.1x s2d tap
         # inflation; conv0's (O, D, h, w) output re-enters the s2d UNet.

@@ -15,10 +15,20 @@ count on the MXU instead:
   original lane-roll design failed remote compile — ablate r3 log). The
   two extra copies cost ~2 XLA passes over the volume; per-tile DMA bytes
   are unchanged (3 x 128-lane windows vs one 384-lane window);
-- each grid step DMAs a (3, C, kd+2, tr+2, 128) block and, per depth-out
-  and x-shift, assembles the (9·C, tr·128) im2col operand from static
-  sublane views (the proven-legal (C, tr, 128) -> (C, tr·128) lane merge),
-  accumulating three (O, 9C) @ (9C, tr·128) MXU matmuls in fp32;
+- each grid step DMAs a (3, C, kd+2, tr+8, 128) block — the h window is
+  tr+8 rows at offset y·tr because Mosaic requires HBM slice sizes AND
+  offsets in the sublane dim to be 8-aligned ("Slice shape along dimension
+  3 must be aligned to tiling (8)", r3 remote-compile log; tr+2 rows fail).
+  The volume's h is therefore padded (1, 7) instead of (1, 1); the 6 junk
+  rows per window are zeros and cost ~(tr+8)/(tr+2) extra DMA bytes;
+- per depth-out, ONE (3O, 9C) @ (9C, (tr+8)·128) MXU matmul computes all
+  27 taps: the three y-taps ride the M dim (O=8 alone would waste 16x of
+  the 128-row systolic array), x-shifts and depth taps the K dim. The
+  operand is built from ZERO-sublane-offset lane-merged views of the block
+  (the proven-legal (C, n, 128) -> (C, n·128) merge; sublane-offset views
+  never appear, so no relayout risk). The epilogue combines the three
+  per-dy row groups with per-row 128-aligned lane slices:
+  out[r] = Σ_dy acc[dy·O:, (r+dy)·128 : (r+dy+1)·128];
 - bias add + ReLU fuse into the epilogue; eval BatchNorm is an affine map,
   folded into (weight, bias) by :func:`fold_bn_into_conv3d` beforehand.
 """
@@ -53,12 +63,14 @@ def fold_bn_into_conv3d(conv_p, bn_p, eps: float = 1e-5):
 def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
                    *, C, O, kd, tr, dtype):
     """One (kd, tr, 128) output tile: double-buffered haloed-block DMA,
-    three x-shift matmuls per depth-out over the (9C, tr*128) im2col views.
+    nine (3 x-shifts x 3 y-taps) matmuls per depth-out over zero-offset
+    lane-merged (3C, (tr+8)*128) views, combined by sublane-shifted
+    per-row lane slices in the epilogue.
 
     The grid runs x innermost; each step waits on its own pre-issued block
     and immediately issues the NEXT step's DMA into the other buffer, so the
-    transfer hides behind this step's rolls/matmuls (only the ~1 us issue
-    cost is serial)."""
+    transfer hides behind this step's matmuls (only the ~1 us issue cost is
+    serial)."""
     od_t = pl.program_id(0)
     yt = pl.program_id(1)
     xt = pl.program_id(2)
@@ -67,6 +79,7 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
     n_x = pl.num_programs(2)
     step = (od_t * n_y + yt) * n_x + xt
     slot = jax.lax.rem(step, 2)
+    trh = tr + 8  # 8-aligned haloed window (only tr+2 rows carry data)
 
     def mk_copy(od_i, y_i, x_i, s):
         return pltpu.make_async_copy(
@@ -74,7 +87,7 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
                 :,
                 :,
                 pl.ds(od_i * kd, kd + 2),
-                pl.ds(y_i * tr, tr + 2),
+                pl.ds(y_i * tr, trh),
                 pl.ds(x_i * 128, 128),
             ],
             block.at[s],
@@ -95,29 +108,37 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
         od2 = nxt // (n_x * n_y)
         mk_copy(od2, y2, x2, 1 - slot).start()
 
-    blk0 = block[slot]  # (3, C, kd+2, tr+2, 128) bf16, axis 0 = dx shift
+    blk0 = block[slot]  # (3, C, kd+2, trh, 128) bf16, axis 0 = dx shift
 
+    L = trh * 128
     for od in range(kd):
-        acc = jnp.zeros((O, tr * 128), jnp.float32)
-        for sx in range(3):
-            rows = []
-            for dd in range(3):
-                for dy in range(3):
-                    rows.append(
-                        blk0[sx, :, od + dd, dy : dy + tr, :].reshape(C, tr * 128)
-                    )
-            a = jnp.concatenate(rows, axis=0)  # (9C, tr*128)
-            acc = acc + jax.lax.dot_general(
-                wmat_ref[sx], a, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        acc = acc + bias_ref[...]  # (O, 1) broadcast
-        acc = jnp.maximum(acc, 0.0).astype(dtype)
-        # per-row aligned lane slices (lane-dim SPLIT reshapes are an
-        # unproven Mosaic relayout; merges like the .reshape above ship in
-        # the v7m warp kernel)
+        # one MXU pass per depth-out: all 27 taps fold into a single
+        # (3O, 9C) @ (9C, L) matmul — the three y-taps ride the M dim
+        # (O=8 alone wastes 16x of the 128-row systolic array), the x-shifts
+        # and depth taps the K dim. Operand rows are zero-sublane-offset
+        # lane-merged views (the only proven-safe kind).
+        a = jnp.concatenate(
+            [
+                blk0[sx, :, od + dd].reshape(C, L)
+                for sx in range(3)
+                for dd in range(3)
+            ],
+            axis=0,
+        )  # (9C, L), rows ordered (sx, dd, c)
+        acc = jax.lax.dot_general(
+            wmat_ref[...], a, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3O, L), rows ordered (dy, o)
+        accs = [acc[dy * O:(dy + 1) * O] for dy in range(3)]
+        # out row r reads block rows r+dy: 128-aligned lane slices only
         for orow in range(tr):
-            out_ref[:, od, orow, :] = acc[:, orow * 128:(orow + 1) * 128]
+            y = (
+                accs[0][:, orow * 128:(orow + 1) * 128]
+                + accs[1][:, (orow + 1) * 128:(orow + 2) * 128]
+                + accs[2][:, (orow + 2) * 128:(orow + 3) * 128]
+                + bias_ref[...]
+            )
+            out_ref[:, od, orow, :] = jnp.maximum(y, 0.0).astype(dtype)
 
 
 def conv3d_front(
@@ -137,10 +158,11 @@ def conv3d_front(
     assert weight.shape == (3, 3, 3, C, O), weight.shape
     assert D % kd == 0 and h % tr == 0, (D, h, kd, tr)
     Wp = ((w + 127) // 128) * 128
-    # (1,1) halos in D/h; the x halo is realized as three pre-shifted copies
-    # so every kernel DMA window is 128-aligned (see module docstring)
+    # (1,1) halo in D, (1,7) in h — the DMA window is tr+8 rows at y*tr, so
+    # the last tile reads through row h+8; the x halo is realized as three
+    # pre-shifted copies so every kernel DMA window is 128-lane-aligned
     volp = jnp.pad(
-        vol.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 1), (0, Wp - w))
+        vol.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 7), (0, Wp - w))
     )
     z = jnp.zeros_like(volp[..., :1])
     vol3 = jnp.stack(
@@ -149,10 +171,10 @@ def conv3d_front(
             volp,
             jnp.concatenate([volp[..., 1:], z], axis=-1),  # dx=+1: v[x+1]
         ]
-    )  # (3, C, D+2, h+2, Wp)
-    # weights as three (O, 9C) x-shift matrices, rows ordered (dd, dy, c)
-    wmat = jnp.transpose(weight.astype(jnp.bfloat16), (2, 4, 0, 1, 3)).reshape(
-        3, O, 9 * C
+    )  # (3, C, D+2, h+8, Wp)
+    # weights as ONE (3O, 9C) matrix: rows (dy, o), columns (sx, dd, c)
+    wmat = jnp.transpose(weight.astype(jnp.bfloat16), (1, 4, 2, 0, 3)).reshape(
+        3 * O, 9 * C
     )
     dtype = vol.dtype
 
@@ -161,14 +183,14 @@ def conv3d_front(
         kernel,
         grid=(D // kd, h // tr, Wp // 128),
         in_specs=[
-            pl.BlockSpec((3, O, 9 * C), lambda d, y, x: (0, 0, 0)),
+            pl.BlockSpec((3 * O, 9 * C), lambda d, y, x: (0, 0)),
             pl.BlockSpec((O, 1), lambda d, y, x: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((O, kd, tr, 128), lambda d, y, x: (0, d, y, x)),
         out_shape=jax.ShapeDtypeStruct((O, D, h, Wp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, C, kd + 2, tr + 2, 128), jnp.bfloat16),
+            pltpu.VMEM((2, 3, C, kd + 2, tr + 8, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

@@ -60,6 +60,13 @@ CONFIG_SETS = {
         # Mosaic rejected):
         ("", "", {"CDS_COSTREG_FRONT": "pallas"}),
     ],
+    # r3 conv3d-front A/B after the 8-aligned-window rewrite (the original
+    # haloed DMA failed remote compile: sublane slice sizes must be
+    # 8-aligned). Baseline = v8 default route.
+    "r3conv": [
+        "",
+        ("", "", {"CDS_COSTREG_FRONT": "pallas"}),
+    ],
 }
 CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
 
