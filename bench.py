@@ -157,7 +157,11 @@ def main():
             params, cfg, imgs, proj, depth_values, temperature=0.01, train=False,
             compute_dtype=compute_dtype, feature_impl="s2d",
         )
-        return outputs["refined_depth"], outputs["stage3"]["photometric_confidence"]
+        return (
+            outputs["refined_depth"],
+            outputs["stage3"]["photometric_confidence"],
+            outputs["stage3"]["depth"],
+        )
 
     args = (params, batch["imgs"], batch["proj_matrices"], batch["depth_values"])
 
@@ -192,12 +196,28 @@ def main():
 
     # Quality gate on the same run: the fixture has exact closed-form GT, so
     # every bench also checks the fast path's numerics. Current level on this
-    # scene: 0.397 mm median (bf16, v7m warp route); fp32 golden 0.40 mm.
+    # scene: 0.397 mm median (bf16, v8 warp route); fp32 golden 0.40 mm.
     # Gate hard at 0.5 mm — a numerics regression must fail the bench, not
-    # ship a green number (VERDICT r2 weak #3).
-    depth = np.asarray(jax.device_get(forward(*args)[0]))[0]
+    # ship a green number (VERDICT r2 weak #3). In protocol mode (refine on)
+    # the cascade runs at HALF input resolution (model.py:146-147 semantics),
+    # so the per-pixel depth footprint is ~2.4x the default config's and the
+    # fixture's cascade level is ~0.96 mm (measured r3: stage3 0.963,
+    # refined 0.952 pallas front / 0.956 s2d front — front-independent, and
+    # refine parity vs the torch reference is golden-tested in
+    # tests/test_model_parity.py). The hard gate rides the stage3 depth at
+    # 1.2 mm there; the refined output gets a 2.0 mm sanity bound.
+    out_f = forward(*args)
+    depth = np.asarray(jax.device_get(out_f[2 if REFINE else 0]))[0]
     med_err = float(np.median(np.abs(depth - gt_depth)))
-    if not med_err < float(os.environ.get("BENCH_QUALITY_GATE_MM", "0.5")):
+    gate_default = "1.2" if REFINE else "0.5"
+    if REFINE:
+        ref_err = float(
+            np.median(np.abs(np.asarray(jax.device_get(out_f[0]))[0] - gt_depth))
+        )
+        if not ref_err < float(os.environ.get("BENCH_REFINE_GATE_MM", "2.0")):
+            _emit_error("quality_gate", f"refined median_depth_err_mm={ref_err:.4f} >= gate")
+            sys.exit(1)
+    if not med_err < float(os.environ.get("BENCH_QUALITY_GATE_MM", gate_default)):
         _emit_error("quality_gate", f"median_depth_err_mm={med_err:.4f} >= gate")
         sys.exit(1)
 
@@ -214,6 +234,7 @@ def main():
                 "blocking_maps_per_sec": round(1.0 / dt, 4),
                 "latency_s": round(dt, 4),
                 "median_depth_err_mm": round(med_err, 3),
+                **({"refined_depth_err_mm": round(ref_err, 3)} if REFINE else {}),
             }
         )
     )

@@ -67,6 +67,14 @@ CONFIG_SETS = {
         "",
         ("", "", {"CDS_COSTREG_FRONT": "pallas"}),
     ],
+    # fresh per-component attribution under the r3 defaults (v8 warp +
+    # pallas conv3d front): what's the next biggest block?
+    "r3attr": [
+        "",
+        "nowarp1", "nowarp2", "nowarp3",
+        "novis1", "novis2", "novis3",
+        "nocost1", "nocost2", "nocost3",
+    ],
 }
 CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
 
