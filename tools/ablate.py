@@ -69,11 +69,26 @@ CONFIG_SETS = {
     ],
     # fresh per-component attribution under the r3 defaults (v8 warp +
     # pallas conv3d front): what's the next biggest block?
+    # RESULT (r3, baseline 340.3 ms/map): warp s1/s2/s3 43.9/67.3/35.5,
+    # cost-reg s1/s2/s3 14.8/29.3/23.9; novis rows are confounded (the knob
+    # drops the fused kernel entirely: −57/−109/−38 = fused-vs-unfused, not
+    # vis cost).
     "r3attr": [
         "",
         "nowarp1", "nowarp2", "nowarp3",
         "novis1", "novis2", "novis3",
         "nocost1", "nocost2", "nocost3",
+    ],
+    # ky re-sweep under v8: the selection-matmul M dim and the (now
+    # vectorized) y-mix both scale with ky+1; v7m-era y12 was only +6.7.
+    # RESULT (r3, baseline 342.7): y12/12/6 +12.9, 2:y12 +5.4, y20/20/12
+    # +0.4, kd8 +1.0 — ky=(16,16,8)/kd=4 remains CONVERGED under v8.
+    "r3ky": [
+        "",
+        ("", "1:v8y12,2:v8y12,3:v8y6"),
+        ("", "2:v8y12"),
+        ("", "1:v8y20,2:v8y20,3:v8y12"),
+        ("", "1:v88,2:v88,3:v88"),  # kd=8 under v8 (v7m era: +11)
     ],
 }
 CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
