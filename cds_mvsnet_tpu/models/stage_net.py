@@ -346,8 +346,10 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 # separate entropy pass disappear (the depth-innermost grid
                 # lets a flash-attention-style running (max, Σe, Σl·e) finish
                 # the softmax within one tile's visit sequence). Route grammar
-                # "v8[s][r][<kd>][y<ky>]": s = emit sim instead of entropy,
-                # r = v7m's per-row y-mix.
+                # "v8[s][r][<kd>][y<ky>][t<tr>]": s = emit sim instead of
+                # entropy, r = v7m's per-row y-mix, t = output rows per tile
+                # (matmul N = tr·128; must divide the stage height, else
+                # falls back to the default 8).
                 from ..ops.geometry import relative_warp_transform
                 from ..ops.pallas.warp import warp_pallas_v8
 
@@ -360,10 +362,16 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 if suffix.startswith("r"):
                     row_ymix = True
                     suffix = suffix[1:]
-                kd_s, _, ky_s = suffix.partition("y")
+                kd_s, _, rest = suffix.partition("y")
+                ky_s, _, tr_s = rest.partition("t")
+                if not rest:
+                    kd_s, _, tr_s = suffix.partition("t")
                 kd = int(kd_s or 4)
                 if ky_s:
                     ky = int(ky_s)
+                tr_v = int(tr_s) if tr_s else 8
+                if tr_v % 8 or h % tr_v:
+                    tr_v = 8
                 while D % kd:
                     kd //= 2
                 rot, trans = relative_warp_transform(ref_cam, cams[:, v])
@@ -378,7 +386,8 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                     dep = jnp.pad(dep, ((0, 0), (0, 0), (0, Wp - w)))
                 in_prod, aux = warp_pallas_v8(
                     src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky,
-                    kd=max(kd, 1), emit_entropy=emit_entropy, row_ymix=row_ymix,
+                    kd=max(kd, 1), tr=tr_v, emit_entropy=emit_entropy,
+                    row_ymix=row_ymix,
                 )
                 if emit_entropy:
                     ent_k, sim_k = aux, None

@@ -90,6 +90,22 @@ CONFIG_SETS = {
         ("", "1:v8y20,2:v8y20,3:v8y12"),
         ("", "1:v88,2:v88,3:v88"),  # kd=8 under v8 (v7m era: +11)
     ],
+    # tr (tile rows) sweep under v8 — the v6-era "bigger tiles don't help"
+    # predates the matmul formulation where tr scales the MXU N dim and
+    # halves per-tile fixed costs; interpret-tested bit-exact across tr.
+    # (stage1 h=216 only admits tr=24; stage3 h=864 admits 16/24/32.)
+    # RESULT (r3, baseline 339.6): ALL LOSE — 2:t16 +19.6, 2:t24 +30.0,
+    # t24 everywhere +76.6, 3:t32 +40.8. Every window visit's matmul spans
+    # all tr rows (non-intersecting rows masked), so bigger tiles multiply
+    # wasted (row, window) coverage faster than they amortize fixed costs.
+    # tr=8 is CONVERGED; knob kept for the record.
+    "r3tr": [
+        "",
+        ("", "2:v8t16"),
+        ("", "2:v8t24"),
+        ("", "1:v8t24,2:v8t24,3:v8t24"),
+        ("", "3:v8t32"),
+    ],
 }
 CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
 
