@@ -155,9 +155,17 @@ def apply_cds_mvsnet(
             from .feature_net_folded import feature_net_folded
 
             return feature_net_folded(params["feature"], xs, es, temperature)
+        # The stack batches 2·(V−1) reference-level FeatureNet calls; in
+        # train mode each call's attention-BN stats must stay per-call
+        # (stat_groups, layers.batch_norm). Stack order is [ref_0..ref_{V-2},
+        # src_0..src_{V-2}] but the reference invokes ref_v, src_v per pair —
+        # group_order replays its sequential running-stat EMA in that order.
+        order = tuple(2 * v + kind for kind in (0, 1) for v in range(V - 1))
         return feature_net(
             params["feature"], xs, es, temperature,
             train=train, collector=collector, path="feature", axis_name=axis_name,
+            bn_groups=2 * (V - 1) if train else 1,
+            bn_group_order=order,
         )
 
     n_stack = stacked.shape[0]

@@ -58,9 +58,13 @@ def dynamic_conv(
     collector: StatsCollector | None = None,
     path: str = "",
     axis_name: str | None = None,
+    stat_groups: int = 1,
+    group_order: tuple[int, ...] | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Apply a dynamic conv. ``x (B,H,W,I)`` -> (out ``(B,H,W,O)``, norm_curv
-    ``(B,H,W,1)``)."""
+    ``(B,H,W,1)``). ``stat_groups``/``group_order``: per-call attention-BN
+    statistics when multiple reference-level calls are batched (layers.py
+    batch_norm docstring)."""
     B, H, W, _ = x.shape
     quad = epipolar_direction_quadratic(epipole, H, W, x.dtype)  # (B,H,W,3)
 
@@ -81,7 +85,8 @@ def dynamic_conv(
     curvs = jnp.concatenate(curvs, axis=-1)  # (B, H, W, K)
     w = conv2d(curvs, p["att_weights"]["0"])  # 1x1, K -> hidden
     w = batch_norm(w, p["att_weights"]["1"], train, collector, path + ".att_weights.1",
-                   axis_name=axis_name)
+                   axis_name=axis_name, stat_groups=stat_groups,
+                   group_order=group_order)
     w = jax.nn.relu(w)
     w = conv2d(w, p["att_weights"]["3"])  # 1x1, hidden -> K
     # temperature softmax in fp32: at T=0.01 logits scale by 100x, which

@@ -43,12 +43,14 @@ _DYN_KERNELS = {
 }
 
 
-def _dyn_block(p, x, epipole, temperature, kernels, train, collector, path, axis_name):
+def _dyn_block(p, x, epipole, temperature, kernels, train, collector, path, axis_name,
+               stat_groups=1, group_order=None):
     """Conv2d(dynamic=True) wrapper: DynamicConv + InstanceNorm + leaky_relu(0.1)
     (reference module.py:59-71; conv bias disabled when normed)."""
     y, nc = dynamic_conv(
         p["conv"], x, epipole, temperature, kernels,
         train=train, collector=collector, path=path + ".conv", axis_name=axis_name,
+        stat_groups=stat_groups, group_order=group_order,
     )
     return leaky_relu(instance_norm(y)), nc
 
@@ -67,13 +69,21 @@ def feature_net(
     collector: StatsCollector | None = None,
     path: str = "feature",
     axis_name: str | None = None,
+    bn_groups: int = 1,
+    bn_group_order: tuple[int, ...] | None = None,
 ) -> dict[str, tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
-    """``x (B,H,W,3)``, ``epipole (B,2)`` -> per-stage (feat, nc_sum, |nc|)."""
+    """``x (B,H,W,3)``, ``epipole (B,2)`` -> per-stage (feat, nc_sum, |nc|).
+
+    ``bn_groups``: when the batch stacks several reference-level FeatureNet
+    calls (model.py:154-161 runs one per (ref, src) pair), train-mode
+    attention-BN statistics must be computed per group of B images, not over
+    the whole stack — see layers.batch_norm. Eval is unaffected."""
 
     def dyn(name, inp, epi):
         return _dyn_block(
             p[name], inp, epi, temperature, _DYN_KERNELS[name],
             train, collector, f"{path}.{name}", axis_name,
+            stat_groups=bn_groups, group_order=bn_group_order,
         )
 
     conv00, nc00 = dyn("conv00", x, epipole)
@@ -92,6 +102,7 @@ def feature_net(
     out, nc22 = dynamic_conv(
         p["out1"], intra, epi1, temperature, _DYN_KERNELS["out1"],
         train=train, collector=collector, path=f"{path}.out1", axis_name=axis_name,
+        stat_groups=bn_groups, group_order=bn_group_order,
     )
     out = jnp.tanh(instance_norm(out))
     outputs["stage1"] = (out, (nc20**2 + nc21**2 + nc22**2) / 3, jnp.abs(nc22))
@@ -101,6 +112,7 @@ def feature_net(
     out, nc12 = dynamic_conv(
         p["out2"], intra, epi0, temperature, _DYN_KERNELS["out2"],
         train=train, collector=collector, path=f"{path}.out2", axis_name=axis_name,
+        stat_groups=bn_groups, group_order=bn_group_order,
     )
     out = jnp.tanh(instance_norm(out))
     outputs["stage2"] = (out, (nc10**2 + nc11**2 + nc12**2) / 3, jnp.abs(nc12))
@@ -110,6 +122,7 @@ def feature_net(
     out, nc02 = dynamic_conv(
         p["out3"], intra, epipole, temperature, _DYN_KERNELS["out3"],
         train=train, collector=collector, path=f"{path}.out3", axis_name=axis_name,
+        stat_groups=bn_groups, group_order=bn_group_order,
     )
     out = jnp.tanh(instance_norm(out))
     outputs["stage3"] = (out, (nc00**2 + nc01**2 + nc02**2) / 3, jnp.abs(nc02))

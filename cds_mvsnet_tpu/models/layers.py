@@ -174,13 +174,59 @@ def batch_norm(
     momentum: float = 0.1,
     eps: float = 1e-5,
     axis_name: str | None = None,
+    stat_groups: int = 1,
+    group_order: tuple[int, ...] | None = None,
 ) -> jnp.ndarray:
     """BatchNorm over all axes but channel (-1). Affine if weight present.
 
     In train mode, records updated running stats into ``collector``. If
     ``axis_name`` is given, batch stats are averaged across that mapped mesh
     axis (sync-BN for data-parallel training).
+
+    ``stat_groups > 1`` splits the leading batch dim into that many equal
+    groups and computes batch statistics PER GROUP. This replicates the
+    reference's per-call BN semantics when several logically-separate module
+    invocations are batched into one (the 2·(V−1) FeatureNet calls,
+    model.py:154-161): torch's DynamicConv attention BN sees one image per
+    call, so stack-wide stats silently change the train-mode forward AND
+    gradients (caught by tests/test_grad_parity.py). ``group_order`` maps
+    stack-group index -> reference call index so the running-stat EMA
+    replays torch's sequential r ← (1−m)·r + m·batch_k in call order.
     """
+    if train and stat_groups > 1:
+        G = stat_groups
+        xg = x.reshape(G, x.shape[0] // G, *x.shape[1:])
+        gaxes = tuple(range(1, xg.ndim - 1))
+        mean = jnp.mean(xg, axis=gaxes)  # (G, C)
+        mean_sq = jnp.mean(jnp.square(xg), axis=gaxes)
+        if axis_name is not None:
+            mean = jax.lax.pmean(mean, axis_name)
+            mean_sq = jax.lax.pmean(mean_sq, axis_name)
+        var = mean_sq - jnp.square(mean)
+        if collector is not None:
+            n = xg[0].size // x.shape[-1]
+            if axis_name is not None:
+                n = n * jax.lax.psum(1, axis_name)
+            unbiased = var * (n / max(n - 1, 1))
+            order = group_order if group_order is not None else tuple(range(G))
+            # closed form of G sequential EMA updates, in reference call order
+            w = [0.0] * G
+            for stack_idx, call_idx in enumerate(order):
+                w[stack_idx] = momentum * (1 - momentum) ** (G - 1 - call_idx)
+            wv = jnp.asarray(w, jnp.float32)
+            decay = (1 - momentum) ** G
+            collector.add(
+                path,
+                decay * p["running_mean"] + jnp.tensordot(wv, mean, 1),
+                decay * p["running_var"] + jnp.tensordot(wv, unbiased, 1),
+            )
+        bshape = (G, *([1] * (xg.ndim - 2)), x.shape[-1])
+        scale = jax.lax.rsqrt(var.astype(jnp.float32).reshape(bshape) + eps).astype(x.dtype)
+        out = (xg - mean.reshape(bshape).astype(x.dtype)) * scale
+        out = out.reshape(x.shape)
+        if p.get("weight") is not None:
+            out = out * p["weight"].astype(x.dtype) + p["bias"].astype(x.dtype)
+        return out
     if train:
         axes = tuple(range(x.ndim - 1))
         mean = jnp.mean(x, axis=axes)

@@ -18,7 +18,10 @@ from cds_mvsnet_tpu.utils.synthetic import sphere_scene, sphere_train_batch
 
 
 class SphereLoader:
-    def __init__(self, n=3, H=64, W=80, D=48):
+    # With refine the cascade halves the working res and CostRegNet needs
+    # stage-1 dims divisible by 8 -> input H, W must be multiples of 64
+    # (reference constraint, SURVEY §2.5; 64x80 crashes the UNet skip-adds).
+    def __init__(self, n=3, H=64, W=64, D=48):
         scene = sphere_scene(V=5, H=H, W=W)
         self.batches = []
         for r in range(n):

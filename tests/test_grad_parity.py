@@ -33,14 +33,17 @@ from cds_mvsnet_tpu.utils.synthetic import synthetic_batch
 
 CKPT = "/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth"
 DLOSSW = (0.5, 1.0, 2.0)
-SMALL = dict(B=1, V=3, H=64, W=80, D=48, refine=True, with_gt=True, seed=7)
+# H, W multiples of 64: with refine the cascade halves the working res and
+# the (reference) CostRegNet needs stage-1 dims divisible by 8 — 64x80
+# crashes the torch UNet's skip-add (module.py:310) just like ours.
+SMALL = dict(B=1, V=3, H=64, W=64, D=48, refine=True, with_gt=True, seed=7)
 
 # One representative leaf per subsystem the VERDICT called out: feature conv,
 # dynamic-conv attention, vis head, cost-reg conv + deconv, refinement.
 SAMPLED_KEYS = [
     "feature.conv00.conv.convs.0.weight",
     "feature.conv00.conv.att_weights.0.weight",
-    "feature.out3.conv.convs.0.weight",
+    "feature.out3.convs.0.weight",
     "stage_net.vis.0.0.conv.weight",
     "cost_regularization.0.conv0.conv.weight",
     "cost_regularization.2.conv7.conv.weight",
@@ -86,10 +89,16 @@ def test_gradient_parity_vs_torch(torch_train_model, reference_modules):
     model = torch_train_model
     model.zero_grad(set_to_none=True)
     t_imgs = torch.from_numpy(np.ascontiguousarray(imgs.transpose(0, 1, 4, 2, 3)))
-    t_proj = {k: torch.from_numpy(v) for k, v in proj.items()}
-    t_gt = {k: torch.from_numpy(v) for k, v in gt.items()}
-    t_mask = {k: torch.from_numpy(v) for k, v in mask.items()}
-    outputs = model(t_imgs, t_proj, torch.from_numpy(dv), gt_depths=t_gt, temperature=1.0)
+    # np.ascontiguousarray throughout: the synthetic pyramids are strided
+    # views and torch.from_numpy preserves strides — the reference's
+    # homo_warping_3D .view() on gt_depth requires contiguity (warping.py:91)
+    t_proj = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in proj.items()}
+    t_gt = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in gt.items()}
+    t_mask = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in mask.items()}
+    outputs = model(
+        t_imgs, t_proj, torch.from_numpy(np.ascontiguousarray(dv)),
+        gt_depths=t_gt, temperature=1.0,
+    )
     t_loss, _ = losses_mod.final_loss(
         outputs, t_gt, t_mask, dlossw=list(DLOSSW), depth_interval=torch.from_numpy(di)
     )
