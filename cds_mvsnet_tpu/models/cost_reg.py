@@ -153,18 +153,23 @@ def cost_reg_net_s2d(
         _front = "pallas"  # DEFAULT since r3: in-model −29.0 ms/map (ablate
         # set r3conv, 368.8 -> 339.8; opt out with CDS_COSTREG_FRONT=s2d)
     _tr = next((t for t in (32, 24, 16, 8) if h % t == 0), None)
+    y1s = conv2s = None
     if cfirst and _front.startswith("pallas") and _tr is not None:
         # Run conv0 at its TRUE 27-tap FLOPs on the MXU
         # (ops/pallas/conv3d.py) straight off the W-minor volume, skipping
         # both the entry to_s2d relayout of x and conv0's ~7.1x s2d tap
         # inflation; conv0's (O, D, h, w) output re-enters the s2d UNet.
-        from ..ops.pallas.conv3d import conv3d_front, fold_bn_into_conv3d
+        from ..ops.pallas.conv3d import (
+            conv3d_down,
+            conv3d_front,
+            fold_bn_into_conv3d,
+        )
 
+        _interp = _front.endswith("_interp")  # CPU-test knob
         w_f, b_f = fold_bn_into_conv3d(p["conv0"]["conv"], p["conv0"]["bn"])
         tr = _tr  # falls back to the s2d branch when no tile height divides h
         y0 = conv3d_front(
-            x, w_f, b_f, kd=4 if D % 4 == 0 else 1, tr=tr,
-            interpret=_front == "pallas_interp",  # CPU-test knob
+            x, w_f, b_f, kd=4 if D % 4 == 0 else 1, tr=tr, interpret=_interp
         )
         O0 = y0.shape[0]
         y0r = y0.reshape(O0, D, h // b, b, w // b, b)
@@ -172,6 +177,46 @@ def cost_reg_net_s2d(
             1, D, h // b, w // b, b * b * O0
         )
         b0 = b
+        _lvl = (
+            3 if _front.startswith("pallas3")
+            else 2 if _front.startswith("pallas2")
+            else 1
+        )
+        if _lvl >= 2 and D % 2 == 0 and h % 2 == 0 and w % 2 == 0:
+            # conv1 (the stride-2 downsampler) at true tap count too,
+            # straight off conv0's W-minor output — skips the s2d form's
+            # tap inflation AND feeds from y0 before the s2d relayout.
+            # Its half-res output re-enters the s2d UNet at block b/2.
+            w1, b1f = fold_bn_into_conv3d(p["conv1"]["conv"], p["conv1"]["bn"])
+            Do = D // 2
+            y1 = conv3d_down(
+                y0, w1, b1f,
+                kd=next(k for k in (4, 2, 1) if Do % k == 0),
+                interpret=_interp,
+            )  # (O1, D/2, h/2, w/2)
+            bh = b // 2
+
+            def _wm_to_s2d(v, Dv, hv, wv, blk):
+                Ov = v.shape[0]
+                vr = v.reshape(Ov, Dv, hv // blk, blk, wv // blk, blk)
+                return jnp.transpose(vr, (1, 2, 4, 3, 5, 0)).reshape(
+                    1, Dv, hv // blk, wv // blk, blk * blk * Ov
+                )
+
+            if _lvl >= 3:
+                # conv2 (stride-1, half res) on the W-minor conv1 output as
+                # well; only ITS output re-enters the s2d UNet (conv1's
+                # relayout disappears entirely).
+                w2, b2f = fold_bn_into_conv3d(p["conv2"]["conv"], p["conv2"]["bn"])
+                y2 = conv3d_front(
+                    y1, w2, b2f,
+                    kd=4 if Do % 4 == 0 else 1,
+                    tr=next((t for t in (32, 24, 16, 8) if (h // 2) % t == 0), 8),
+                    interpret=_interp,
+                )
+                conv2s = _wm_to_s2d(y2, Do, h // 2, w // 2, bh)
+            else:
+                y1s = _wm_to_s2d(y1, Do, h // 2, w // 2, bh)
         if stop_after in ("s2d", "conv0"):
             return conv0
     else:
@@ -181,8 +226,14 @@ def cost_reg_net_s2d(
         conv0, b0 = c("conv0", xs, b)
     if stop_after == "conv0":
         return conv0
-    y, b1 = c("conv1", conv0, b0, 2)
-    conv2, _ = c("conv2", y, b1)
+    if conv2s is not None:
+        conv2, b1 = conv2s, b // 2
+    else:
+        if y1s is not None:
+            y, b1 = y1s, b // 2
+        else:
+            y, b1 = c("conv1", conv0, b0, 2)
+        conv2, _ = c("conv2", y, b1)
     if stop_after == "conv2":
         return conv2
     y, b2 = c("conv3", conv2, b1, 2)

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["conv3d_front", "fold_bn_into_conv3d"]
+__all__ = ["conv3d_front", "conv3d_down", "fold_bn_into_conv3d"]
 
 
 def fold_bn_into_conv3d(conv_p, bn_p, eps: float = 1e-5):
@@ -61,11 +61,20 @@ def fold_bn_into_conv3d(conv_p, bn_p, eps: float = 1e-5):
 
 
 def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
-                   *, C, O, kd, tr, dtype):
+                   *, C, O, kd, tr, dtype, stride=1):
     """One (kd, tr, 128) output tile: double-buffered haloed-block DMA,
     nine (3 x-shifts x 3 y-taps) matmuls per depth-out over zero-offset
-    lane-merged (3C, (tr+8)*128) views, combined by sublane-shifted
+    lane-merged (3C, (stride*tr+8)*128) views, combined by sublane-shifted
     per-row lane slices in the epilogue.
+
+    With ``stride == 2`` the same structure computes the stride-(2,2,2)
+    downsampling conv: the DMA window covers 2x the output tile's extent in
+    (depth, rows), the x-stride is pre-resolved on the host (the three
+    "shift" streams are even/odd lane de-interleaves, so out lane k reads
+    stream lane k directly), and the epilogue picks acc columns at
+    (2*row + dy) instead of (row + dy). The matmul N dim still spans the
+    full input-resolution window (each dy group uses ~half its columns) —
+    wasted MXU columns, but the kernel is DMA bound at these channel counts.
 
     The grid runs x innermost; each step waits on its own pre-issued block
     and immediately issues the NEXT step's DMA into the other buffer, so the
@@ -79,15 +88,15 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
     n_x = pl.num_programs(2)
     step = (od_t * n_y + yt) * n_x + xt
     slot = jax.lax.rem(step, 2)
-    trh = tr + 8  # 8-aligned haloed window (only tr+2 rows carry data)
+    trh = stride * tr + 8  # 8-aligned haloed window
 
     def mk_copy(od_i, y_i, x_i, s):
         return pltpu.make_async_copy(
             vol_hbm.at[
                 :,
                 :,
-                pl.ds(od_i * kd, kd + 2),
-                pl.ds(y_i * tr, trh),
+                pl.ds(od_i * stride * kd, stride * kd + 2),
+                pl.ds(y_i * stride * tr, trh),
                 pl.ds(x_i * 128, 128),
             ],
             block.at[s],
@@ -108,7 +117,7 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
         od2 = nxt // (n_x * n_y)
         mk_copy(od2, y2, x2, 1 - slot).start()
 
-    blk0 = block[slot]  # (3, C, kd+2, trh, 128) bf16, axis 0 = dx shift
+    blk0 = block[slot]  # (3, C, stride*kd+2, trh, 128) bf16, axis 0 = dx
 
     L = trh * 128
     for od in range(kd):
@@ -119,7 +128,7 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
         # lane-merged views (the only proven-safe kind).
         a = jnp.concatenate(
             [
-                blk0[sx, :, od + dd].reshape(C, L)
+                blk0[sx, :, stride * od + dd].reshape(C, L)
                 for sx in range(3)
                 for dd in range(3)
             ],
@@ -130,12 +139,13 @@ def _conv3d_kernel(wmat_ref, bias_ref, vol_hbm, out_ref, block, sem,
             preferred_element_type=jnp.float32,
         )  # (3O, L), rows ordered (dy, o)
         accs = [acc[dy * O:(dy + 1) * O] for dy in range(3)]
-        # out row r reads block rows r+dy: 128-aligned lane slices only
+        # out row r reads block rows stride*r+dy: 128-aligned lane slices
         for orow in range(tr):
+            r = stride * orow
             y = (
-                accs[0][:, orow * 128:(orow + 1) * 128]
-                + accs[1][:, (orow + 1) * 128:(orow + 2) * 128]
-                + accs[2][:, (orow + 2) * 128:(orow + 3) * 128]
+                accs[0][:, r * 128:(r + 1) * 128]
+                + accs[1][:, (r + 1) * 128:(r + 2) * 128]
+                + accs[2][:, (r + 2) * 128:(r + 3) * 128]
                 + bias_ref[...]
             )
             out_ref[:, od, orow, :] = jnp.maximum(y, 0.0).astype(dtype)
@@ -152,17 +162,21 @@ def conv3d_front(
     """3x3x3 same-padded conv + bias + ReLU: ``(C, D, h, w) -> (O, D, h, w)``.
 
     Equals ``relu(conv3d(vol, weight) + bias)`` with zero padding (the
-    reference's Conv3d(padding=1)). Requires D % kd == 0 and h % tr == 0."""
+    reference's Conv3d(padding=1)). Requires D % kd == 0; h is padded up to
+    the tile grid (junk rows are zero and sliced off)."""
     C, D, h, w = vol.shape
     O = weight.shape[-1]
     assert weight.shape == (3, 3, 3, C, O), weight.shape
-    assert D % kd == 0 and h % tr == 0, (D, h, kd, tr)
+    assert D % kd == 0, (D, kd)
+    n_y = -(-h // tr)
+    hp = tr * n_y + 8  # the last window reads rows tr*(n_y-1) .. hp-1
     Wp = ((w + 127) // 128) * 128
-    # (1,1) halo in D, (1,7) in h — the DMA window is tr+8 rows at y*tr, so
-    # the last tile reads through row h+8; the x halo is realized as three
-    # pre-shifted copies so every kernel DMA window is 128-lane-aligned
+    # (1,1) halo in D, (1, hp-h-1) in h — the DMA window is tr+8 rows at
+    # y*tr (Mosaic sublane slices must be 8-aligned in size AND offset); the
+    # x halo is realized as three pre-shifted copies so every kernel DMA
+    # window is 128-lane-aligned
     volp = jnp.pad(
-        vol.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, 7), (0, Wp - w))
+        vol.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, hp - h - 1), (0, Wp - w))
     )
     z = jnp.zeros_like(volp[..., :1])
     vol3 = jnp.stack(
@@ -181,18 +195,87 @@ def conv3d_front(
     kernel = functools.partial(_conv3d_kernel, C=C, O=O, kd=kd, tr=tr, dtype=dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(D // kd, h // tr, Wp // 128),
+        grid=(D // kd, n_y, Wp // 128),
         in_specs=[
             pl.BlockSpec((3 * O, 9 * C), lambda d, y, x: (0, 0)),
             pl.BlockSpec((O, 1), lambda d, y, x: (0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((O, kd, tr, 128), lambda d, y, x: (0, d, y, x)),
-        out_shape=jax.ShapeDtypeStruct((O, D, h, Wp), dtype),
+        out_shape=jax.ShapeDtypeStruct((O, D, tr * n_y, Wp), dtype),
         scratch_shapes=[
             pltpu.VMEM((2, 3, C, kd + 2, tr + 8, 128), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(wmat, bias.astype(jnp.float32).reshape(O, 1), vol3)
-    return out[..., :w]
+    return out[:, :, :h, :w]
+
+
+def conv3d_down(
+    vol: jnp.ndarray,  # (C, D, h, w) W-minor volume, D/h/w even
+    weight: jnp.ndarray,  # (3, 3, 3, C, O) — (kd, ky, kx, in, out), BN folded
+    bias: jnp.ndarray,  # (O,)
+    kd: int = 4,
+    tr: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Stride-(2,2,2) 3x3x3 conv + bias + ReLU: ``(C,D,h,w) -> (O,D/2,h/2,w/2)``.
+
+    Equals ``relu(conv3d(vol, weight, stride=2) + bias)`` with zero padding
+    — the CostRegNet downsampling convs (reference models/module.py:276-283,
+    Conv3d stride=2 pad=1). Same kernel as :func:`conv3d_front` at stride=2;
+    the x-stride is resolved on the host: out lane k needs padded inputs
+    vp[2k + dx], so the three lane-aligned streams are the even lanes, the
+    odd lanes, and the even lanes shifted by one (stream s lane k =
+    vp[2k + s] exactly) — a lane de-interleave instead of conv3d_front's
+    three x-shifted copies, same total bytes. Requires (D/2) % kd == 0 and
+    tr % 8 == 0 (the out block's sublane dim must tile by 8, and the input
+    window offset 2*tr*y must be 8-aligned)."""
+    C, D, h, w = vol.shape
+    O = weight.shape[-1]
+    assert weight.shape == (3, 3, 3, C, O), weight.shape
+    assert D % 2 == 0 and h % 2 == 0 and w % 2 == 0, (D, h, w)
+    Do, ho, wo = D // 2, h // 2, w // 2
+    assert Do % kd == 0 and tr % 8 == 0, (Do, kd, tr)
+    n_y = -(-ho // tr)  # out rows padded up to the tile grid
+    hp = 2 * tr * n_y + 8  # last window reads rows 2*tr*(n_y-1) .. hp-1
+    Wp2 = ((wo + 127) // 128) * 128
+    v = jnp.pad(
+        vol.astype(jnp.bfloat16), ((0, 0), (1, 1), (1, hp - h - 1), (1, 1))
+    )  # padded: vp[d+1, y+1, x+1] = vol[d, y, x]
+    ev = v[..., 0::2]  # (C, D+2, hp, wo+1): vp[2j]
+    od = v[..., 1::2]  # vp[2j+1]
+    xpad = ((0, 0), (0, 0), (0, 0), (0, Wp2 - wo))
+    vol3 = jnp.stack(
+        [
+            jnp.pad(ev[..., :wo], xpad),  # dx=0: vp[2k]
+            jnp.pad(od[..., :wo], xpad),  # dx=1: vp[2k+1]
+            jnp.pad(ev[..., 1:], xpad),  # dx=2: vp[2k+2]
+        ]
+    )  # (3, C, D+2, hp, Wp2)
+    wmat = jnp.transpose(weight.astype(jnp.bfloat16), (1, 4, 2, 0, 3)).reshape(
+        3 * O, 9 * C
+    )
+    dtype = vol.dtype
+
+    kernel = functools.partial(
+        _conv3d_kernel, C=C, O=O, kd=kd, tr=tr, dtype=dtype, stride=2
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(Do // kd, n_y, Wp2 // 128),
+        in_specs=[
+            pl.BlockSpec((3 * O, 9 * C), lambda d, y, x: (0, 0)),
+            pl.BlockSpec((O, 1), lambda d, y, x: (0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((O, kd, tr, 128), lambda d, y, x: (0, d, y, x)),
+        out_shape=jax.ShapeDtypeStruct((O, Do, tr * n_y, Wp2), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, C, 2 * kd + 2, 2 * tr + 8, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(wmat, bias.astype(jnp.float32).reshape(O, 1), vol3)
+    return out[:, :, :ho, :wo]

@@ -91,6 +91,52 @@ def test_conv3d_front_tile_configs(kd, tr):
     np.testing.assert_allclose(got, want, atol=0.15, rtol=0.05)
 
 
+def test_cost_reg_net_s2d_pallas2_front(monkeypatch):
+    """CDS_COSTREG_FRONT=pallas2 additionally routes conv1 (the stride-2
+    downsampler) through the MXU kernel; full-UNet output must still match
+    the s2d path."""
+    from cds_mvsnet_tpu.models.cost_reg import cost_reg_net_s2d, init_cost_reg_net
+
+    rng = np.random.default_rng(9)
+    p = init_cost_reg_net(jax.random.PRNGKey(0), in_channels=32, base_channels=8)
+    x = jnp.asarray(rng.standard_normal((1, 8, 32, 48, 32)).astype(np.float32))
+    x_cf = jnp.moveaxis(x[0], -1, 0)
+    want = cost_reg_net_s2d(p, x_cf, b=4, cfirst=True)
+    monkeypatch.setenv("CDS_COSTREG_FRONT", "pallas2_interp")
+    got = cost_reg_net_s2d(p, x_cf, b=4, cfirst=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=4e-3, atol=4e-3)
+    # pallas3 additionally routes conv2 (stride-1, half res, off conv1's
+    # W-minor output, incl. the padded-row grid for non-tile heights)
+    monkeypatch.setenv("CDS_COSTREG_FRONT", "pallas3_interp")
+    got3 = cost_reg_net_s2d(p, x_cf, b=4, cfirst=True)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want), rtol=6e-3, atol=6e-3)
+
+
+@pytest.mark.parametrize("kd,tr", [(1, 8), (2, 8), (4, 16)])
+def test_conv3d_down_tile_configs(kd, tr):
+    """The Pallas stride-2 conv matches lax.conv at every tile configuration
+    the chooser can pick, including non-tile-multiple output heights and
+    non-128-multiple widths."""
+    from cds_mvsnet_tpu.ops.pallas.conv3d import conv3d_down
+
+    rng = np.random.default_rng(kd * 10 + tr)
+    C, O, D, h, w = 8, 16, 8, 44, 300
+    vol = jnp.asarray(rng.standard_normal((C, D, h, w)), jnp.float32).astype(jnp.bfloat16)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 3, C, O)) * 0.2, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(O), jnp.float32)
+    x = jnp.transpose(vol, (1, 2, 3, 0))[None].astype(jnp.float32)
+    want = jax.lax.conv_general_dilated(
+        x, wgt, (2, 2, 2), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+    want = jax.nn.relu(want + bias)[0]
+    want = np.asarray(jnp.transpose(want, (3, 0, 1, 2)))
+    got = np.asarray(
+        conv3d_down(vol, wgt, bias, kd=kd, tr=tr, interpret=True), np.float32
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=0.15, rtol=0.05)
+
+
 @pytest.mark.parametrize("b", [1, 2, 4])
 def test_s2d_deconv3d_matches_plain(b):
     rng = np.random.default_rng(b)

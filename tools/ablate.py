@@ -79,6 +79,17 @@ CONFIG_SETS = {
         "novis1", "novis2", "novis3",
         "nocost1", "nocost2", "nocost3",
     ],
+    # r3 stride-2 conv1 kernel A/B: pallas2 = conv0 AND conv1 through the
+    # MXU conv3d kernels (conv1 at true 27 taps vs the s2d form's ~7x
+    # inflation; feeds straight off conv0's W-minor output).
+    "r3conv2": [
+        "",  # default = v8 warp + pallas conv0 front
+        ("", "", {"CDS_COSTREG_FRONT": "pallas2"}),
+    ],
+    "r3conv3": [
+        "",
+        ("", "", {"CDS_COSTREG_FRONT": "pallas3"}),
+    ],
     # ky re-sweep under v8: the selection-matmul M dim and the (now
     # vectorized) y-mix both scale with ky+1; v7m-era y12 was only +6.7.
     # RESULT (r3, baseline 342.7): y12/12/6 +12.9, 2:y12 +5.4, y20/20/12
