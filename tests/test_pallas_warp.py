@@ -6,10 +6,10 @@ import numpy as np
 import pytest
 
 from cds_mvsnet_tpu.ops.grid_sample import grid_sample_pixel_packed
-from cds_mvsnet_tpu.ops.pallas.warp import (
+from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v3
+from cds_mvsnet_tpu.ops.pallas.warp_archive import (
     warp_pallas,
     warp_pallas_v2,
-    warp_pallas_v3,
     warp_pallas_v4,
     warp_pallas_v5,
 )
@@ -121,7 +121,7 @@ def test_warp_pallas_v6_channels_first_coherent_bf16():
 def test_warp_pallas_v7_matches_on_bf16_source(trky):
     """v7 wide-band: exact vs the packed sampler on the bf16-quantized
     source, incl. random out-of-range coords exercising the x-slice sweep."""
-    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v7
+    from cds_mvsnet_tpu.ops.pallas.warp_archive import warp_pallas_v7
 
     tr, ky = trky
     rng = np.random.default_rng(6)
@@ -140,7 +140,7 @@ def test_warp_pallas_v7_matches_on_bf16_source(trky):
 
 
 def test_warp_pallas_v7_channels_first_coherent():
-    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v7
+    from cds_mvsnet_tpu.ops.pallas.warp_archive import warp_pallas_v7
 
     rng = np.random.default_rng(8)
     H, W, C, D = 24, 128, 8, 4

@@ -1,0 +1,135 @@
+"""Single-chip B>1 eval keeps the Pallas kernel route (VERDICT r3 weak #3).
+
+The batched path unrolls over the batch so every slice traces the B=1 kernel
+route; CDS_PALLAS_INTERPRET=1 runs the identical production path with
+interpreted kernels on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cds_mvsnet_tpu.models.cost_reg import init_cost_reg_net
+from cds_mvsnet_tpu.models.stage_net import init_vis_heads, stage_net
+
+
+def _make_inputs(B=3, V=3, C=8, h=32, w=32, D=8, seed=0):
+    rng = np.random.default_rng(seed)
+    # smooth features (random noise produces incoherent depth hypotheses the
+    # banded window sweep is not built for — CLAUDE.md)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+
+    def smooth(k):
+        f = np.stack(
+            [
+                np.sin(xx / (3.0 + c) + k + b) * np.cos(yy / (4.0 + c) + b)
+                for b in range(B)
+                for c in range(C)
+            ]
+        ).reshape(B, C, h, w)
+        return np.moveaxis(f, 1, -1).astype(np.float32)  # (B, h, w, C)
+
+    features = []
+    for v in range(V - 1):
+        pair = {}
+        for i, k in enumerate(("ref", "src")):
+            feat = jnp.asarray(smooth(v * 2 + i)).astype(jnp.bfloat16)
+            nc_sum = jnp.asarray(
+                rng.standard_normal((B, h, w)).astype(np.float32) * 0.1
+            )
+            nc = jnp.asarray(np.abs(rng.standard_normal((B, h, w))).astype(np.float32))
+            pair[k] = (feat, nc_sum, nc)
+        features.append(pair)
+
+    # simple pinhole rig: ref at origin, sources translated in x
+    K = np.eye(4, dtype=np.float32)
+    K[0, 0] = K[1, 1] = 40.0
+    K[0, 2], K[1, 2] = w / 2, h / 2
+    cams = np.zeros((B, V, 2, 4, 4), np.float32)
+    for v in range(V):
+        E = np.eye(4, dtype=np.float32)
+        E[0, 3] = 0.5 * v
+        cams[:, v, 0] = E
+        cams[:, v, 1] = K
+    depth_values = np.broadcast_to(
+        np.linspace(8.0, 12.0, D, dtype=np.float32)[None], (B, D)
+    ).copy()
+    return features, jnp.asarray(cams), jnp.asarray(depth_values)
+
+
+@pytest.mark.parametrize("stage_idx,C", [(2, 8)])
+def test_b_gt_1_pallas_route_matches_sliced(monkeypatch, stage_idx, C):
+    features, cams, depth_values = _make_inputs(B=3, C=C)
+    vis = init_vis_heads(jax.random.PRNGKey(0))
+    cr = init_cost_reg_net(jax.random.PRNGKey(1), in_channels=C)
+
+    monkeypatch.setenv("CDS_PALLAS_INTERPRET", "1")
+    out_b = stage_net(vis, cr, features, cams, depth_values, stage_idx, s2d_eval=True)
+    assert out_b["depth"].shape[0] == 3
+
+    # per-slice B=1 through the same route must match bit-exactly
+    for b in range(3):
+        f_b = [
+            {k: tuple(t[b : b + 1] for t in f) for k, f in pair.items()}
+            for pair in features
+        ]
+        out_1 = stage_net(
+            vis, cr, f_b, cams[b : b + 1], depth_values[b : b + 1], stage_idx,
+            s2d_eval=True,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_b["depth"][b]), np.asarray(out_1["depth"][0])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_b["photometric_confidence"][b]),
+            np.asarray(out_1["photometric_confidence"][0]),
+        )
+
+
+def test_b_gt_1_pallas_route_matches_xla():
+    """The interpreted kernel route agrees with the XLA gather path at B=2
+    (loose: bf16 kernel vs fp32-accumulated XLA warp)."""
+    features, cams, depth_values = _make_inputs(B=2, C=8, seed=3)
+    vis = init_vis_heads(jax.random.PRNGKey(0))
+    cr = init_cost_reg_net(jax.random.PRNGKey(1), in_channels=8)
+
+    out_xla = stage_net(vis, cr, features, cams, depth_values, 2, s2d_eval=True)
+    import os
+
+    os.environ["CDS_PALLAS_INTERPRET"] = "1"
+    try:
+        out_pl = stage_net(vis, cr, features, cams, depth_values, 2, s2d_eval=True)
+    finally:
+        del os.environ["CDS_PALLAS_INTERPRET"]
+    d_range = float(depth_values.max() - depth_values.min())
+    err = np.abs(np.asarray(out_pl["depth"]) - np.asarray(out_xla["depth"]))
+    assert np.median(err) < 0.02 * d_range, float(np.median(err))
+
+
+def test_route_grammar_parse():
+    """The CDS_WARP_ROUTE grammar (models/warp_routes.py) parses every form
+    the r1-r3 A/B sweeps used."""
+    from cds_mvsnet_tpu.models.warp_routes import is_fused_route, parse_fused_route
+
+    p = lambda r: parse_fused_route(r, n_ch=8, D=48, h=96)
+    d = p(None)
+    assert (d.variant, d.ky, d.kd, d.tr, d.emit_entropy) == ("v8", 8, 4, 8, True)
+    assert p("v8s").emit_entropy is False
+    assert p("v8r").row_ymix is True
+    v = p("v8s2y12t16")
+    assert (v.variant, v.kd, v.ky, v.tr, v.emit_entropy) == ("v8", 2, 12, 16, False)
+    assert (p("v8t24").tr, p("v8t24").kd) == (24, 4)
+    assert p("v8t10").tr == 8  # not 8-aligned -> fallback
+    v = p("v7m2y12")
+    assert (v.variant, v.kd, v.ky) == ("v7m", 2, 12)
+    v = p("v6sdco4y12")
+    assert (v.variant, v.gate, v.kd, v.ky) == ("v6sdc", "odloop", 4, 12)
+    assert p("v6sdcg").gate == "row"
+    assert (p("v6sd8").variant, p("v6sd8").kd) == ("v6sd", 8)
+    assert (p("v6sky12").variant, p("v6sky12").ky) == ("v6s", 12)
+    assert p("v6sc").dma_cache is True
+    assert parse_fused_route("v8", n_ch=16, D=48, h=96).ky == 16
+    assert parse_fused_route(None, n_ch=8, D=6, h=96).kd == 2  # kd clamps to D
+    assert is_fused_route(None) and is_fused_route("v8s") and is_fused_route("v7m")
+    assert not is_fused_route("xla") and not is_fused_route("v6ky16")

@@ -117,6 +117,13 @@ CONFIG_SETS = {
         ("", "1:v8t24,2:v8t24,3:v8t24"),
         ("", "3:v8t32"),
     ],
+    # r4 exit-fusion A/B: the v9 kernel (prob head + softmax + depth/conf
+    # regression fused off the s2d UNet exit, ops/pallas/regress.py; default
+    # since r4) vs the XLA tail it replaces.
+    "r4exit": [
+        "",  # default = v9 on
+        ("", "", {"CDS_EXIT_FUSION": "off"}),
+    ],
 }
 CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
 
