@@ -193,6 +193,9 @@ def main():
     dt_pipe = (time.perf_counter() - t0) / ITERS
 
     maps_per_sec = 1.0 / min(dt, dt_pipe)
+    # Label the headline by which measurement actually won (VERDICT r3 weak
+    # #2: a blocking rate tagged "[pipelined]" breaks cross-round comparisons).
+    rate_tag = "[pipelined]" if dt_pipe <= dt else "[blocking]"
 
     # Quality gate on the same run: the fixture has exact closed-form GT, so
     # every bench also checks the fast path's numerics. Current level on this
@@ -204,17 +207,18 @@ def main():
     # fixture's cascade level is ~0.96 mm (measured r3: stage3 0.963,
     # refined 0.952 pallas front / 0.956 s2d front — front-independent, and
     # refine parity vs the torch reference is golden-tested in
-    # tests/test_model_parity.py). The hard gate rides the stage3 depth at
-    # 1.2 mm there; the refined output gets a 2.0 mm sanity bound.
+    # tests/test_model_parity.py). The hard gates ride the calibrated level
+    # (VERDICT r3 weak #6): stage3 depth at 1.1 mm, refined at 1.2 mm — both
+    # ~15-25% above the measured 0.96 mm so a half-regression trips them.
     out_f = forward(*args)
     depth = np.asarray(jax.device_get(out_f[2 if REFINE else 0]))[0]
     med_err = float(np.median(np.abs(depth - gt_depth)))
-    gate_default = "1.2" if REFINE else "0.5"
+    gate_default = "1.1" if REFINE else "0.5"
     if REFINE:
         ref_err = float(
             np.median(np.abs(np.asarray(jax.device_get(out_f[0]))[0] - gt_depth))
         )
-        if not ref_err < float(os.environ.get("BENCH_REFINE_GATE_MM", "2.0")):
+        if not ref_err < float(os.environ.get("BENCH_REFINE_GATE_MM", "1.2")):
             _emit_error("quality_gate", f"refined median_depth_err_mm={ref_err:.4f} >= gate")
             sys.exit(1)
     if not med_err < float(os.environ.get("BENCH_QUALITY_GATE_MM", gate_default)):
@@ -226,7 +230,7 @@ def main():
         json.dumps(
             {
                 "metric": f"DTU depth maps/sec/chip at {W}x{H}, {V} views, {D} depths"
-                + (" (protocol: refine on)" if REFINE else "") + " [pipelined]",
+                + (" (protocol: refine on)" if REFINE else "") + " " + rate_tag,
                 "value": round(maps_per_sec, 4),
                 "unit": "maps/sec/chip",
                 "vs_baseline": round(maps_per_sec / A100_PYTORCH_MAPS_PER_SEC, 4),

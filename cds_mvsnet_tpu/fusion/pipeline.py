@@ -154,6 +154,12 @@ def fuse_scan_native(
         view_ids = sorted(
             int(p.stem) for p in (Path(scan_folder) / "depth_est").glob("*.pfm")
         )
+    if not view_ids:
+        raise FileNotFoundError(
+            f"no depth maps under {scan_folder}/depth_est — run inference first "
+            "(or check --testlist: 'all' lists every directory in --testpath, "
+            "including a nested --outdir)"
+        )
     depths, cams, colors = [], [], []
     for vid in view_ids:
         d, conf, cam = _load_view(scan_folder, vid)

@@ -177,12 +177,16 @@ def cost_reg_net_s2d(
             1, D, h // b, w // b, b * b * O0
         )
         b0 = b
+        if stop_after in ("s2d", "conv0"):
+            # Hoisted above the pallas2/pallas3 fronts so truncated profiling
+            # returns never trace the downstream kernels (ADVICE r3).
+            return conv0
         _lvl = (
             3 if _front.startswith("pallas3")
             else 2 if _front.startswith("pallas2")
             else 1
         )
-        if _lvl >= 2 and D % 2 == 0 and h % 2 == 0 and w % 2 == 0:
+        if _lvl >= 2 and D % 2 == 0 and h % 2 == 0 and w % 2 == 0 and b % 2 == 0:
             # conv1 (the stride-2 downsampler) at true tap count too,
             # straight off conv0's W-minor output — skips the s2d form's
             # tap inflation AND feeds from y0 before the s2d relayout.
@@ -217,8 +221,6 @@ def cost_reg_net_s2d(
                 conv2s = _wm_to_s2d(y2, Do, h // 2, w // 2, bh)
             else:
                 y1s = _wm_to_s2d(y1, Do, h // 2, w // 2, bh)
-        if stop_after in ("s2d", "conv0"):
-            return conv0
     else:
         xs = to_s2d(x, b)
         if stop_after == "s2d":

@@ -162,12 +162,15 @@ def conv3d_front(
     """3x3x3 same-padded conv + bias + ReLU: ``(C, D, h, w) -> (O, D, h, w)``.
 
     Equals ``relu(conv3d(vol, weight) + bias)`` with zero padding (the
-    reference's Conv3d(padding=1)). Requires D % kd == 0; h is padded up to
-    the tile grid (junk rows are zero and sliced off)."""
+    reference's Conv3d(padding=1)). Requires D % kd == 0 and tr % 8 == 0
+    (the DMA row offset y*tr must be 8-aligned on real compiles, same Mosaic
+    constraint conv3d_down documents); h is padded up to the tile grid (junk
+    rows are zero and sliced off)."""
     C, D, h, w = vol.shape
     O = weight.shape[-1]
     assert weight.shape == (3, 3, 3, C, O), weight.shape
     assert D % kd == 0, (D, kd)
+    assert tr % 8 == 0, tr
     n_y = -(-h // tr)
     hp = tr * n_y + 8  # the last window reads rows tr*(n_y-1) .. hp-1
     Wp = ((w + 127) // 128) * 128

@@ -67,15 +67,16 @@ def test_cost_reg_net_s2d_pallas_front(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=4e-3, atol=4e-3)
 
 
-@pytest.mark.parametrize("kd,tr", [(1, 8), (2, 24), (4, 16)])
-def test_conv3d_front_tile_configs(kd, tr):
+@pytest.mark.parametrize("kd,tr,h", [(1, 8, 48), (2, 24, 48), (4, 16, 48), (2, 16, 44), (4, 8, 44)])
+def test_conv3d_front_tile_configs(kd, tr, h):
     """The Pallas entry conv matches lax.conv at every tile configuration
     the model's per-stage chooser can pick (kd in {1,2,4}, tr in
-    {8,16,24,32}), including non-128-multiple widths."""
+    {8,16,24,32}), including non-128-multiple widths and non-tile-multiple
+    heights (h=44: the padded-row grid path, ADVICE r3)."""
     from cds_mvsnet_tpu.ops.pallas.conv3d import conv3d_front
 
     rng = np.random.default_rng(kd * 10 + tr)
-    C, O, D, h, w = 6, 8, 4, 48, 150
+    C, O, D, w = 6, 8, 4, 150
     vol = jnp.asarray(rng.standard_normal((C, D, h, w)), jnp.float32).astype(jnp.bfloat16)
     wgt = jnp.asarray(rng.standard_normal((3, 3, 3, C, O)) * 0.2, jnp.float32)
     bias = jnp.asarray(rng.standard_normal(O), jnp.float32)
