@@ -157,20 +157,66 @@ def stage_net(
     chunk_elems = 16 * 1024 * 1024
     depth_chunk = max(1, min(num_depth, chunk_elems // max(1, h * w * C)))
 
+    _ablate = _os.environ.get("CDS_ABLATE", "")
+    # Training warp route: "off" = XLA gather (autodiff backward), or a
+    # stage list ("3" / "2,3" / "all") that routes the fused Pallas kernel
+    # forward with a custom_vjp backward (ops/pallas/warp_vjp.py). The
+    # kernel needs bf16 features, 8-aligned rows, and a real TPU (or the
+    # interpret knob for CPU tests).
+    _twarp = _os.environ.get("CDS_TRAIN_WARP", "off")
+    _interp_t = bool(_os.environ.get("CDS_PALLAS_INTERPRET"))
+    train_kernel = (
+        train
+        and features[0]["ref"][0].dtype == jnp.bfloat16
+        and h % 8 == 0
+        and (jax.default_backend() in ("tpu", "axon") or _interp_t)
+        and (_twarp == "all" or str(stage_idx + 1) in _twarp.split(","))
+        and f"nowarp{stage_idx + 1}" not in _ablate
+    )
     for v in range(1, V):
         ref_feat, ref_nc_sum, ref_nc = features[v - 1]["ref"]
         src_feat, src_nc_sum, _ = features[v - 1]["src"]
         src_cam = cams[:, v]
 
-        warped = homography_warp(
-            src_feat, ref_cam, src_cam, depth_values, depth_chunk=depth_chunk
-        )  # (B,D,h,w,C)
-        # similarity via a contraction — never materializes ref⊙warped;
-        # accumulate in fp32 (entropy/softmax need it even in bf16 mode)
-        sim = jnp.einsum(
-            "bhwc,bdhwc->bdhw", ref_feat, warped,
-            precision=default_precision(), preferred_element_type=jnp.float32,
-        )
+        if train_kernel:
+            from ..ops.pallas.warp_vjp import fused_warp_train
+
+            src_cf = jnp.moveaxis(src_feat, -1, 1)  # (B, C, h, w)
+            ref_cf = jnp.moveaxis(ref_feat, -1, 1)
+            dv = (
+                depth_values
+                if depth_values.ndim == 4
+                else jnp.broadcast_to(
+                    depth_values[:, :, None, None], (B, num_depth, h, w)
+                )
+            )
+            outs = [
+                fused_warp_train(
+                    src_cf[b], ref_cf[b], dv[b], ref_cam[b], src_cam[b],
+                    8 if C <= 8 else 16, 4, _interp_t,
+                )
+                for b in range(B)
+            ]
+            # cast the exact fp32 products to the feature dtype so the
+            # accumulated volume matches the XLA route's bf16 rounding
+            in_prod = jnp.stack([o[0] for o in outs]).astype(src_feat.dtype)
+            sim = jnp.stack([o[1] for o in outs])  # (B, D, h, w) fp32
+        else:
+            warped = homography_warp(
+                src_feat, ref_cam, src_cam, depth_values, depth_chunk=depth_chunk
+            )  # (B,D,h,w,C)
+            if f"nowarp{stage_idx + 1}" in _ablate:
+                # PROFILING ONLY (tools/bench_train.py --ablate): a scalar
+                # stand-in keeps every downstream op live while DCE removes
+                # the gather AND its backward scatter — attributes the warp's
+                # fwd+bwd share of the train step (mirrors the eval knob).
+                warped = jnp.zeros_like(warped) + src_feat.mean() * 0.01
+            # similarity via a contraction — never materializes ref⊙warped;
+            # accumulate in fp32 (entropy/softmax need it even in bf16 mode)
+            sim = jnp.einsum(
+                "bhwc,bdhwc->bdhw", ref_feat, warped,
+                precision=default_precision(), preferred_element_type=jnp.float32,
+            )
         entropy = softmax_entropy(sim, axis=1)[:, 0]  # (B, h, w)
         if s2d_eval and not train:
             vis = _vis_head_s2d(
@@ -183,8 +229,13 @@ def stage_net(
                 train, collector, f"{path}.vis.{stage_idx}", axis_name,
             )[..., 0]  # (B, h, w)
 
-        # ref⊙warped⊙vis fuses elementwise into the accumulator
-        volume_sum = volume_sum + ref_feat[:, None] * warped * vis[:, None, :, :, None]
+        if train_kernel:
+            # kernel route accumulates channels-first; one transpose after
+            # the view loop feeds the channel-last cost regularization
+            volume_sum = volume_sum + in_prod * vis[:, None, None]
+        else:
+            # ref⊙warped⊙vis fuses elementwise into the accumulator
+            volume_sum = volume_sum + ref_feat[:, None] * warped * vis[:, None, :, :, None]
         vis_sum = vis_sum + vis
         nc_sum = nc_sum + (ref_nc_sum + src_nc_sum) / 2
         if train:
@@ -194,6 +245,8 @@ def stage_net(
             gt_sim = jnp.sum(ref_feat[:, None] * gt_warped, axis=-1)  # (B, 1, h, w)
             gt_feat_distance = gt_feat_distance + gt_sim * vis[:, None]
 
+    if train_kernel:
+        volume_sum = jnp.moveaxis(volume_sum, 1, -1)  # (B, D, h, w, C)
     volume_mean = volume_sum / (vis_sum[:, None, :, :, None] + 1e-6)  # (B,D,h,w,C)
     nc_mean = nc_sum / (V - 1)
 

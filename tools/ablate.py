@@ -166,7 +166,16 @@ def main():
                 params, cfg, imgs, proj, dv, temperature=0.01, train=False,
                 compute_dtype=jnp.bfloat16, feature_impl="s2d",
             )
-            return out["refined_depth"]
+            # Consume final-stage confidence too (one scalar out: relay
+            # round-trips are ~33 ms each). bench.py and the product both
+            # need it — leaving it unconsumed lets XLA DCE the prob-stream
+            # tail in exactly the configs the exit-fusion A/B measures
+            # (discovered r4: the r4exit set read neutral while the bench
+            # moved −16 ms/map). Absolute ms are ~1 pass higher than r2/r3
+            # logs; in-set deltas remain the signal.
+            return out["refined_depth"].ravel()[0] + jnp.mean(
+                out[f"stage{cfg.num_stages}"]["photometric_confidence"]
+            )
 
         jf = jax.jit(fwd)
         out = jf(*fargs)

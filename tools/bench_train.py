@@ -31,6 +31,13 @@ def main():
     ap.add_argument("--bs", type=int, default=2)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--modes", default="fp32,bf16")
+    ap.add_argument(
+        "--ablate", default=None,
+        help="semicolon-separated configs to A/B in one process — each entry "
+             "is a CDS_ABLATE string, or KEY=VALUE to set any env knob (e.g. "
+             "';nowarp1nowarp2nowarp3;CDS_TRAIN_WARP=3'); deltas attribute "
+             "the train step the way tools/ablate.py does for eval",
+    )
     args = ap.parse_args()
 
     from cds_mvsnet_tpu.config import ModelConfig, TrainConfig
@@ -45,7 +52,18 @@ def main():
     )
 
     res = {}
+    ablates = args.ablate.split(";") if args.ablate is not None else [None]
     for mode in args.modes.split(","):
+      for abl in ablates:
+        if abl is not None:
+            # read at trace time in stage_net; clear both knobs per config
+            os.environ["CDS_ABLATE"] = ""
+            os.environ.pop("CDS_TRAIN_WARP", None)
+            if "=" in abl:
+                k, _, v = abl.partition("=")
+                os.environ[k] = v
+            else:
+                os.environ["CDS_ABLATE"] = abl
         train_cfg = TrainConfig(compute_dtype=mode)
         params = init_cds_mvsnet(jax.random.PRNGKey(0), model_cfg)
         state, (tx, sched) = init_train_state(params, train_cfg)
@@ -63,13 +81,14 @@ def main():
             np.asarray(jax.device_get(metrics["loss"]))
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
-        res[mode] = {
+        key = mode if abl is None else f"{mode}[{abl or 'baseline'}]"
+        res[key] = {
             "compile_s": round(compile_s, 1),
             "step_s": round(dt, 3),
             "samples_per_sec": round(args.bs / dt, 3),
             "loss_finite": bool(np.isfinite(np.asarray(metrics["loss"]))),
         }
-        print(f"{mode}: {res[mode]}", flush=True)
+        print(f"{key}: {res[key]}", flush=True)
 
     print(json.dumps(res))
 
