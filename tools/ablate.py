@@ -124,6 +124,24 @@ CONFIG_SETS = {
         "",  # default = v9 on
         ("", "", {"CDS_EXIT_FUSION": "off"}),
     ],
+    # r4 block-sparse feature convs (ops/pallas/s2d_sparse.py): skip the
+    # zero 128x128 weight tiles of the s2d rescatter (27-46% nonzero). The
+    # r4 bench_feature3 sweep showed every lower-block reformulation LOSES
+    # (XLA's fat b=8 conv is efficient per padded FLOP) — this keeps b=8
+    # and drops the padding FLOPs instead.
+    # RESULT (r4, tools/bench_feature3.py standalone same-process deltas,
+    # all legs numerically checked exact): conv01_sp −5.1 ms WINS; conv00
+    # +3.1, half (conv10+conv11) +3.2, tail (inner2+out3) +10.3, downsample
+    # −0.2 — on every layer but conv01 the kernel's 3x x-shift stream
+    # materialization + fixed costs exceed the skipped-tile MXU savings.
+    # In-model A/B (r4, on-device, same process; baseline 344.7 ms/map):
+    # conv01 −1.3 ms/map (smaller than standalone — XLA overlaps part of the
+    # dense conv01 with neighbors), all +36.2 — conv01-only is the default.
+    "r4sparse": [
+        "",  # dense XLA s2d convs
+        ("", "", {"CDS_FEAT_SPARSE": "conv01"}),
+        ("", "", {"CDS_FEAT_SPARSE": "all"}),
+    ],
 }
 CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
 
