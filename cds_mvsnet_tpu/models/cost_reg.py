@@ -162,15 +162,40 @@ def cost_reg_net_s2d(
         from ..ops.pallas.conv3d import (
             conv3d_down,
             conv3d_front,
+            conv3d_front_fused,
             fold_bn_into_conv3d,
         )
 
         _interp = _front.endswith("_interp")  # CPU-test knob
         w_f, b_f = fold_bn_into_conv3d(p["conv0"]["conv"], p["conv0"]["bn"])
-        tr = _tr  # falls back to the s2d branch when no tile height divides h
-        y0 = conv3d_front(
-            x, w_f, b_f, kd=4 if D % 4 == 0 else 1, tr=tr, interpret=_interp
-        )
+        y1 = None
+        _fused = _front.startswith("pallasf")
+        if _fused and D % 2 == 0 and h % 2 == 0 and w % 2 == 0 and b % 2 == 0:
+            # conv0 AND the stride-2 conv1 in ONE kernel pass: conv1 reads
+            # conv0 from VMEM (the standalone conv1 kernel lost on stream
+            # re-reads — STATUS r3). (kd, tr) by VMEM: the double-buffered
+            # window is 2*3*C*(kd+3)*(tr+8)*128 bf16 bytes.
+            w1_f, b1_f = fold_bn_into_conv3d(p["conv1"]["conv"], p["conv1"]["bn"])
+            _cands = [
+                (k, t) for k, t in ((4, 32), (4, 16), (2, 16))
+                if D % k == 0
+                and 2 * 3 * C * (k + 3) * (t + 8) * 128 * 2 <= 12 << 20
+            ]
+            # prefer an exact row tiling (no padded-grid junk rows)
+            _cfg = next(
+                ((k, t) for k, t in _cands if h % t == 0),
+                _cands[0] if _cands else None,
+            )
+            if _cfg is not None:
+                y0, y1 = conv3d_front_fused(
+                    x, w_f, b_f, w1_f, b1_f, kd=_cfg[0], tr=_cfg[1],
+                    interpret=_interp,
+                )
+        if y1 is None:
+            tr = _tr  # falls back to s2d when no tile height divides h
+            y0 = conv3d_front(
+                x, w_f, b_f, kd=4 if D % 4 == 0 else 1, tr=tr, interpret=_interp
+            )
         O0 = y0.shape[0]
         y0r = y0.reshape(O0, D, h // b, b, w // b, b)
         conv0 = jnp.transpose(y0r, (1, 2, 4, 3, 5, 0)).reshape(
@@ -182,22 +207,26 @@ def cost_reg_net_s2d(
             # returns never trace the downstream kernels (ADVICE r3).
             return conv0
         _lvl = (
-            3 if _front.startswith("pallas3")
-            else 2 if _front.startswith("pallas2")
+            3 if _front.startswith(("pallas3", "pallasf3"))
+            else 2 if _front.startswith("pallas2") or y1 is not None
             else 1
         )
-        if _lvl >= 2 and D % 2 == 0 and h % 2 == 0 and w % 2 == 0 and b % 2 == 0:
+        if (y1 is None and _lvl >= 2
+                and D % 2 == 0 and h % 2 == 0 and w % 2 == 0 and b % 2 == 0):
             # conv1 (the stride-2 downsampler) at true tap count too,
             # straight off conv0's W-minor output — skips the s2d form's
             # tap inflation AND feeds from y0 before the s2d relayout.
             # Its half-res output re-enters the s2d UNet at block b/2.
+            # (Measured NEGATIVE vs the fused front: the de-interleave
+            # streams re-read conv0's output ~4.5x — STATUS r3.)
             w1, b1f = fold_bn_into_conv3d(p["conv1"]["conv"], p["conv1"]["bn"])
-            Do = D // 2
             y1 = conv3d_down(
                 y0, w1, b1f,
-                kd=next(k for k in (4, 2, 1) if Do % k == 0),
+                kd=next(k for k in (4, 2, 1) if (D // 2) % k == 0),
                 interpret=_interp,
             )  # (O1, D/2, h/2, w/2)
+        if y1 is not None:
+            Do = D // 2
             bh = b // 2
 
             def _wm_to_s2d(v, Dv, hv, wv, blk):

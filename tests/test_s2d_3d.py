@@ -149,3 +149,57 @@ def test_s2d_deconv3d_matches_plain(b):
     got = s2d_deconv3d_2x(_s2d_vol(x, b), w, b_in=b)
     got = _d2s_vol(got, 2 * b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kd,tr,h,w", [(2, 16, 32, 128), (4, 16, 44, 300), (2, 32, 64, 256)])
+def test_conv3d_front_fused_tile_configs(kd, tr, h, w):
+    """The fused conv0+conv1 kernel matches lax.conv for BOTH outputs at
+    every tile configuration the chooser can pick, including the x-tile
+    ring carry (w > 128), non-128-multiple widths, and padded row grids
+    (h=44). conv1's reference consumes the bf16-rounded conv0 — exactly
+    what the XLA route reads back from HBM."""
+    from cds_mvsnet_tpu.ops.pallas.conv3d import conv3d_front_fused
+
+    rng = np.random.default_rng(kd * 100 + tr + h)
+    C, O0, O1, D = 6, 8, 16, 8
+    vol = jnp.asarray(rng.standard_normal((C, D, h, w)), jnp.float32).astype(jnp.bfloat16)
+    w0 = jnp.asarray(rng.standard_normal((3, 3, 3, C, O0)) * 0.2, jnp.float32)
+    b0 = jnp.asarray(rng.standard_normal(O0), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((3, 3, 3, O0, O1)) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal(O1), jnp.float32)
+
+    def ref(v, wgt, bias, stride):
+        x = jnp.transpose(v, (1, 2, 3, 0))[None].astype(jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x, wgt, (stride,) * 3, [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        return jnp.transpose(jax.nn.relu(y + bias)[0], (3, 0, 1, 2))
+
+    want0 = ref(vol, w0, b0, 1)
+    want1 = ref(want0.astype(jnp.bfloat16), w1, b1, 2)
+    got0, got1 = conv3d_front_fused(vol, w0, b0, w1, b1, kd=kd, tr=tr, interpret=True)
+    assert got0.shape == want0.shape and got1.shape == want1.shape
+    np.testing.assert_allclose(np.asarray(got0, np.float32), np.asarray(want0),
+                               atol=0.15, rtol=0.05)
+    np.testing.assert_allclose(np.asarray(got1, np.float32), np.asarray(want1),
+                               atol=0.3, rtol=0.05)
+
+
+def test_cost_reg_net_s2d_pallasf_front(monkeypatch):
+    """CDS_COSTREG_FRONT=pallasf routes conv0 AND conv1 through the fused
+    kernel (conv1 off conv0's VMEM tile); full-UNet output must match the
+    s2d path. pallasf3 additionally routes conv2 off conv1's W-minor
+    output."""
+    from cds_mvsnet_tpu.models.cost_reg import cost_reg_net_s2d, init_cost_reg_net
+
+    rng = np.random.default_rng(9)
+    p = init_cost_reg_net(jax.random.PRNGKey(0), in_channels=32, base_channels=8)
+    x = jnp.asarray(rng.standard_normal((1, 8, 32, 48, 32)).astype(np.float32))
+    x_cf = jnp.moveaxis(x[0], -1, 0)
+    want = cost_reg_net_s2d(p, x_cf, b=4, cfirst=True)
+    monkeypatch.setenv("CDS_COSTREG_FRONT", "pallasf_interp")
+    got = cost_reg_net_s2d(p, x_cf, b=4, cfirst=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=6e-3, atol=6e-3)
+    monkeypatch.setenv("CDS_COSTREG_FRONT", "pallasf3_interp")
+    got3 = cost_reg_net_s2d(p, x_cf, b=4, cfirst=True)
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(want), rtol=8e-3, atol=8e-3)

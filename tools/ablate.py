@@ -142,6 +142,26 @@ CONFIG_SETS = {
         ("", "", {"CDS_FEAT_SPARSE": "conv01"}),
         ("", "", {"CDS_FEAT_SPARSE": "all"}),
     ],
+    # r4 fused conv0+conv1 front (conv3d_front_fused): conv1 computed from
+    # conv0's VMEM patch — kills conv1's full-res read of conv0's s2d form
+    # AND its ~7x padded-tap contraction. The standalone conv1 kernel
+    # (pallas2, r3) lost +18.4 ms/map because its de-interleave streams
+    # re-read conv0's output ~4.5x from HBM; fusion removes that re-read
+    # entirely. pallasf3 additionally routes conv2 off conv1's W-minor
+    # output (kills conv1's re-entry relayout; r3 measured this recovers
+    # ~4.9 on top of the conv1 route).
+    # RESULT (r4, on-device, baseline 339.3 ms/map): BOTH LOSE — pallasf
+    # +10.3, pallasf3 +5.9 (conv2-off-W-minor recovers 4.4, consistent with
+    # r3). The fused conv1's in-kernel cost (halo recompute kd+1/kd, ~90
+    # patch stores/step, fp32 lane rolls + selects, a decimation matmul
+    # whose N dim is half wasted) exceeds what conv1's s2d conv + full-res
+    # read cost XLA (~5-9 ms) — the conv0 kernel has NO DMA slack to hide
+    # added compute. Kernel kept route-gated, interpret-parity-tested.
+    "r4fused": [
+        "",  # default = pallas conv0 front + s2d conv1
+        ("", "", {"CDS_COSTREG_FRONT": "pallasf"}),
+        ("", "", {"CDS_COSTREG_FRONT": "pallasf3"}),
+    ],
 }
 CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
 
