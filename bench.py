@@ -37,6 +37,14 @@ if os.environ.get("BENCH_CONFIG", "default") == "protocol":
     H, W, V, D, REFINE = 1152, 1536, 5, 192, True
 else:
     H, W, V, D, REFINE = 864, 1152, 5, 192, False
+# Ref-view batching (the eval CLI's --batch_size): B maps share ONE jitted
+# dispatch, amortizing the ~33 ms fixed relay round trip; stage_net's B>1
+# unroll keeps the B=1 Pallas kernel route per slice, bit-exact
+# (tests/test_stage_batch.py). Measured r4 (tools/bench_batch.py, same
+# process): B=1 345.4 / B=2 329.2 / B=4 322.9 ms/map. Default B=4 at the
+# default point; protocol keeps B=1 unless overridden (refine doubles the
+# full-res working set).
+BATCH = int(os.environ.get("BENCH_BATCH", "1" if REFINE else "4"))
 WARMUP = 2
 ITERS = 8
 
@@ -95,7 +103,11 @@ def _probe_backend(timeout_s: float, attempts: int) -> tuple[bool, str]:
 
 def main():
     signal.signal(signal.SIGALRM, _watchdog)
-    signal.alarm(int(os.environ.get("BENCH_WALL_BUDGET_S", "540")))
+    # A cold-cache compile of the B>1 unrolled program on the remote compile
+    # server can exceed the B=1 budget several-fold; repeat runs hit the
+    # persistent compilation cache and finish in ~1 min either way.
+    default_budget = "540" if BATCH == 1 else "1800"
+    signal.alarm(int(os.environ.get("BENCH_WALL_BUDGET_S", default_budget)))
 
     ok, why = _probe_backend(
         timeout_s=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120")),
@@ -150,6 +162,10 @@ def main():
         jnp.asarray, textured_plane_batch(V=V, H=H, W=W, D=D, refine=REFINE)
     )
     gt_depth = float(np.asarray(batch.pop("gt_plane_depth")))  # constant-z plane
+    if BATCH > 1:
+        batch = jax.tree.map(
+            lambda x: jnp.concatenate([x] * BATCH, axis=0), batch
+        )
 
     @jax.jit
     def forward(params, imgs, proj, depth_values):
@@ -192,7 +208,7 @@ def main():
         float(o[0][0, 0, 0])
     dt_pipe = (time.perf_counter() - t0) / ITERS
 
-    maps_per_sec = 1.0 / min(dt, dt_pipe)
+    maps_per_sec = BATCH / min(dt, dt_pipe)
     # Label the headline by which measurement actually won (VERDICT r3 weak
     # #2: a blocking rate tagged "[pipelined]" breaks cross-round comparisons).
     rate_tag = "[pipelined]" if dt_pipe <= dt else "[blocking]"
@@ -230,12 +246,15 @@ def main():
         json.dumps(
             {
                 "metric": f"DTU depth maps/sec/chip at {W}x{H}, {V} views, {D} depths"
-                + (" (protocol: refine on)" if REFINE else "") + " " + rate_tag,
+                + (" (protocol: refine on)" if REFINE else "")
+                + (f" [B={BATCH} batched dispatch]" if BATCH > 1 else "")
+                + " " + rate_tag,
                 "value": round(maps_per_sec, 4),
                 "unit": "maps/sec/chip",
                 "vs_baseline": round(maps_per_sec / A100_PYTORCH_MAPS_PER_SEC, 4),
-                "pipelined_maps_per_sec": round(1.0 / dt_pipe, 4),
-                "blocking_maps_per_sec": round(1.0 / dt, 4),
+                "pipelined_maps_per_sec": round(BATCH / dt_pipe, 4),
+                "blocking_maps_per_sec": round(BATCH / dt, 4),
+                "batch": BATCH,
                 "latency_s": round(dt, 4),
                 "median_depth_err_mm": round(med_err, 3),
                 **({"refined_depth_err_mm": round(ref_err, 3)} if REFINE else {}),

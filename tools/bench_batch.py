@@ -39,6 +39,7 @@ def main():
     ap.add_argument("--bs", default="1,2,4")
     ap.add_argument("--h", type=int, default=H)
     ap.add_argument("--w", type=int, default=W)
+    ap.add_argument("--refine", action="store_true", help="protocol point")
     args = ap.parse_args()
     h, w = args.h, args.w
 
@@ -52,19 +53,21 @@ def main():
     params = convert_checkpoint(
         "/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth"
     )
-    params.pop("refine_network", None)
+    if not args.refine:
+        params.pop("refine_network", None)
     params = jax.device_put(params)
-    cfg = ModelConfig(refine=False)
+    cfg = ModelConfig(refine=args.refine)
 
     batch = jax.tree.map(
-        jnp.asarray, textured_plane_batch(V=V, H=h, W=w, D=D, refine=False)
+        jnp.asarray, textured_plane_batch(V=V, H=h, W=w, D=D, refine=args.refine)
     )
     batch.pop("gt_plane_depth", None)
 
     res = {}
     for B in [int(x) for x in args.bs.split(",")]:
         fargs = tuple(
-            jnp.concatenate([batch[k]] * B, axis=0) if B > 1 else batch[k]
+            jax.tree.map(lambda x: jnp.concatenate([x] * B, axis=0), batch[k])
+            if B > 1 else batch[k]
             for k in ("imgs", "proj_matrices", "depth_values")
         )
 
