@@ -41,10 +41,11 @@ else:
 # dispatch, amortizing the ~33 ms fixed relay round trip; stage_net's B>1
 # unroll keeps the B=1 Pallas kernel route per slice, bit-exact
 # (tests/test_stage_batch.py). Measured r4 (tools/bench_batch.py, same
-# process): B=1 345.4 / B=2 329.2 / B=4 322.9 ms/map. Default B=4 at the
-# default point; protocol keeps B=1 unless overridden (refine doubles the
-# full-res working set).
-BATCH = int(os.environ.get("BENCH_BATCH", "1" if REFINE else "4"))
+# process): default point B=1 345.4 / B=2 329.2 / B=4 322.9 ms/map;
+# protocol point (refine on) B=1 154.7 / B=2 140.6 / B=4 137.7 ms/map —
+# B=4 fits HBM and wins at both points. B=8's unrolled program fails the
+# remote compile server (HTTP 500), and would only amortize ~8 ms/map more.
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 WARMUP = 2
 ITERS = 8
 
