@@ -168,11 +168,32 @@ def save_depths(
         if verbose:
             print(f"view {idx + 1}: {times[-1]:.3f}s")
 
+    def pad_ragged(batch):
+        # A ragged final batch (scan views % batch_size != 0) would retrace
+        # the whole B-specific unrolled program at a new shape — minutes on
+        # the remote compile server. Replicate the last sample up to
+        # batch_size instead; write_outputs iterates the (unpadded) filename
+        # list, so the padded outputs are discarded.
+        n = len(batch["filename"])
+        if n == batch_size:
+            return batch
+
+        def _pad(x):
+            return jnp.concatenate(
+                [x, jnp.repeat(x[-1:], batch_size - n, axis=0)], axis=0
+            )
+
+        return {
+            k: (v if k == "filename" else jax.tree.map(_pad, v))
+            for k, v in batch.items()
+        }
+
     try:
         prev = None
         prev_t0 = None
         for i, batch in enumerate(loader):
             t0 = time.perf_counter()
+            batch = pad_ragged(batch)
             out_dev = forward(
                 params, batch["imgs"], batch["proj_matrices"], batch["depth_values"]
             )

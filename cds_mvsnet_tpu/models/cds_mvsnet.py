@@ -222,6 +222,7 @@ def apply_cds_mvsnet(
             for v in range(V - 1)
         ]
 
+        depth_affine = None
         if depth is None:
             depth_samples = initial_depth_hypotheses(depth_values, ndepth)  # (B, D)
             depth_samples_full = None
@@ -234,6 +235,22 @@ def apply_cds_mvsnet(
                 depth_min[:, None, None, None],
                 depth_max[:, None, None, None],
                 out_hw=(h_s, w_s),
+            )
+            # Unclamped affine window params for the v9 exit-fusion tail:
+            # the clamp saturates per sample, but resize is linear and the
+            # step is constant per batch, so lo resamples exactly —
+            # d_unclamped(pixel, j) = lo + step·j at stage resolution.
+            nl = (ndepth - 1) // 2
+            ivl = cfg.depth_intervals_ratio[stage_idx] * depth_interval  # (B,)
+            lo_s = (
+                resize_linear(cur[:, None], (h_s, w_s), axes=(2, 3))[:, 0]
+                - nl * ivl[:, None, None]
+            )
+            depth_affine = (
+                lo_s,
+                ivl[:, None, None],
+                depth_min[:, None, None],
+                depth_max[:, None, None],
             )
             depth_samples_full = depth_samples
 
@@ -262,6 +279,7 @@ def apply_cds_mvsnet(
             cost_reg_path=cost_reg_path,
             axis_name=axis_name,
             gt_depth=gt_stage,
+            depth_affine=depth_affine,
         )
         depth = outputs_stage["depth"]
 

@@ -73,6 +73,7 @@ def stage_net(
     cost_reg_path: str = "cost_regularization",
     axis_name: str | None = None,
     gt_depth: jnp.ndarray | None = None,
+    depth_affine: tuple | None = None,
 ) -> dict:
     """One cascade stage.
 
@@ -83,6 +84,12 @@ def stage_net(
       cams: ``(B, V, 2, 4, 4)`` packed stage cameras (view 0 = reference).
       depth_values: ``(B, D, h, w)`` per-pixel hypotheses.
       gt_depth: optional ``(B, h, w)`` for the feature-metric loss branch.
+      depth_affine: optional ``(lo (B,h,w), step (B,1,1), dmin (B,1,1),
+        dmax (B,1,1))`` — the UNCLAMPED affine parameters of the refined
+        hypothesis windows (exact through the spatial resample because the
+        resample is linear and step is constant per batch). Lets the v9
+        exit-fusion tail reconstruct depth = clip(lo + step·idx_f) without
+        assuming the clamped volume is affine (ADVICE r4 high).
 
     Returns:
       dict with depth ``(B,h,w)``, photometric_confidence, norm_curv, and in
@@ -113,6 +120,7 @@ def stage_net(
             return _stage_net_pallas(
                 vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
                 cost_dtype=cost_dtype, channels_first=channels_first,
+                depth_affine=depth_affine,
             )
         # B > 1 single-chip eval: unroll over the batch so every slice keeps
         # the B=1 Pallas kernel route (VERDICT r3 weak #3 — previously this
@@ -132,6 +140,9 @@ def stage_net(
                 stage_idx,
                 cost_dtype=cost_dtype,
                 channels_first=channels_first,
+                depth_affine=None if depth_affine is None else tuple(
+                    t[b : b + 1] for t in depth_affine
+                ),
             )
             for b in range(B)
         ]
@@ -273,7 +284,7 @@ def stage_net(
 
 
 def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
-                      cost_dtype=None, channels_first=False):
+                      cost_dtype=None, channels_first=False, depth_affine=None):
     """Eval stage with the Pallas banded-DMA warp kernel (B=1).
 
     The warp outputs W-minor ``(C, D, h, w)`` volumes, so similarity,
@@ -365,7 +376,7 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         )
         return _stage_net_pallas_tail(
             cost_reg_params, volume_sum, vis_sum, nc_sum, depth_values, V,
-            stage_idx, cost_dtype, _ablate,
+            stage_idx, cost_dtype, _ablate, depth_affine=depth_affine,
         )
     volume_sum = 0.0
     vis_sum = 0.0
@@ -473,12 +484,13 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
 
     return _stage_net_pallas_tail(
         cost_reg_params, volume_sum, vis_sum, nc_sum, depth_values, V, stage_idx,
-        cost_dtype, _ablate,
+        cost_dtype, _ablate, depth_affine=depth_affine,
     )
 
 
 def _stage_net_pallas_tail(cost_reg_params, volume_sum, vis_sum, nc_sum,
-                           depth_values, V, stage_idx, cost_dtype, _ablate):
+                           depth_values, V, stage_idx, cost_dtype, _ablate,
+                           depth_affine=None):
     """Shared Pallas-path tail: visibility-normalize, regularize, regress."""
     from .cost_reg import cost_reg_net_s2d
 
@@ -500,32 +512,62 @@ def _stage_net_pallas_tail(cost_reg_params, volume_sum, vis_sum, nc_sum,
 
         h_s, w_s = volume_mean.shape[2], volume_mean.shape[3]
         exit_fusion = _os.environ.get("CDS_EXIT_FUSION", "v9")
+        dv = depth_values.astype(jnp.float32)
         if (
             exit_fusion != "off"
             and volume_mean.dtype == jnp.bfloat16  # fp32 evals keep XLA tail
             and h_s % 8 == 0 and w_s % 8 == 0
             and f"notail{stage_idx + 1}" not in _ablate
+            # refined stages need a depth reconstruction that survives the
+            # range-edge clamp (ADVICE r4 high): either the unclamped affine
+            # params or (v9x, interpret-only) the streamed true hypotheses.
+            # Without either, fall through to the exact XLA tail.
+            and (dv.ndim == 2 or depth_affine is not None or exit_fusion == "v9x")
         ):
             # v9 exit fusion: the s2d UNet stops at the conv0+deconv11 skip
             # sum; the Pallas kernel runs the prob head + softmax + depth /
             # confidence regression on-chip (ops/pallas/regress.py) — the
             # (D, h, w) cost volume, its d2s relayout, and the fp32 prob
-            # stream never touch HBM. Depth hypotheses are affine in the
-            # plane index at every stage, so depth = d0 + (d1-d0)*idx_f.
+            # stream never touch HBM. Depth reconstruction:
+            # - stage 1 ((B, D) linspace, exactly affine):
+            #   depth = d0 + (d1-d0)*idx_f;
+            # - refined stages: the per-sample clamp (ops/sampling.py:66-67,
+            #   reference module.py:413-416) breaks affinity at the range
+            #   edges, so depth = clip(lo + step*idx_f, dmin, dmax) from the
+            #   UNCLAMPED affine params (exact through the spatial resample;
+            #   exact where the window is interior or fully saturated, and
+            #   bounded by the window span in the partially-clamped band);
+            # - CDS_EXIT_FUSION=v9x streams the true hypothesis volume for a
+            #   bit-exact expectation — interpret/CPU only (its 16-lane
+            #   d-block DMA violates Mosaic's 128-lane slice rule on TPU).
             from ..ops.pallas.regress import exit_softargmin
 
             y_exit = cost_reg_net_s2d(
                 cost_reg_params, volume_mean, b=4, cfirst=True,
                 stop_after="conv11",
             )  # (1, D, h/4, w/4, 128)
-            idx_f, conf = exit_softargmin(
-                y_exit[0], cost_reg_params["prob"]["weight"],
-                interpret=bool(_os.environ.get("CDS_PALLAS_INTERPRET")),
-            )
-            dv = depth_values.astype(jnp.float32)
-            d0 = dv[:, 0] if dv.ndim == 4 else dv[:, 0][:, None, None]
-            d1 = dv[:, 1] if dv.ndim == 4 else dv[:, 1][:, None, None]
-            depth = d0 + (d1 - d0) * idx_f[None]
+            _interp_tail = bool(_os.environ.get("CDS_PALLAS_INTERPRET"))
+            if dv.ndim == 4 and exit_fusion == "v9x":
+                depth_m, conf = exit_softargmin(
+                    y_exit[0], cost_reg_params["prob"]["weight"],
+                    dvol=dv[0], interpret=_interp_tail,
+                )
+                depth = depth_m[None]
+            else:
+                idx_f, conf = exit_softargmin(
+                    y_exit[0], cost_reg_params["prob"]["weight"],
+                    interpret=_interp_tail,
+                )
+                if dv.ndim == 4:
+                    lo, step, dmin, dmax = depth_affine
+                    depth = jnp.clip(
+                        lo.astype(jnp.float32) + step * idx_f[None],
+                        dmin, dmax,
+                    )
+                else:
+                    d0 = dv[:, 0][:, None, None]
+                    d1 = dv[:, 1][:, None, None]
+                    depth = d0 + (d1 - d0) * idx_f[None]
             return {
                 "depth": depth,
                 "photometric_confidence": conf[None],

@@ -26,11 +26,19 @@ This kernel consumes the s2d UNet exit (the conv0 + deconv11 skip sum,
   confidence window mass — so softmax, depth regression, AND the reference's
   take-at-regressed-index confidence (ops/sampling.py semantics) finish
   on-chip;
-- the depth hypotheses volume never enters: every stage's hypotheses are
-  affine in the plane index j (initial: linspace; refined: clamp-SHIFTED
-  windows resampled spatially — both preserve d(pixel, j) = d0 + step*j), so
-  the caller reconstructs depth = d0 + (d1 - d0) * idx_f from two hypothesis
-  planes it already has.
+- stage 1's hypotheses are a (B, D) linspace — exactly affine in the plane
+  index j — so the caller reconstructs depth = d0 + (d1 - d0) * idx_f from
+  two hypothesis planes it already has, and the volume never enters;
+- refined stages' hypotheses are NOT affine everywhere: the reference
+  (module.py:413-416, matched by ops/sampling.py:66-67) saturates each
+  sample independently at [depth_min, depth_max] and then resamples
+  spatially, so windows at the range edges flatten (d0 == d1 == depth_min
+  there — an affine reconstruction would collapse depth to depth_min
+  regardless of the probability mass). For those stages the caller passes
+  the true per-pixel hypothesis volume ``dvol``; the kernel streams it in
+  s2d layout one (kd, trq) block per grid step and accumulates
+  S_d = sum_j exp(L_j - m)·d_j flash-style (running max, rescaled), so the
+  emitted depth equals depth_regression(softmax(logits), dvol) exactly.
 
 Mosaic notes: all matmul operands are zero-sublane-offset full-minor views;
 the only sublane-offset reads are the three (WQO, 16) fp32 epilogue slices;
@@ -91,14 +99,15 @@ def build_exit_wmat(w: jnp.ndarray, b: int = 4, C: int = 8) -> jnp.ndarray:
     )
 
 
-def _exit_kernel(wmat_ref, yp_hbm, idx_ref, conf_ref, band, L, sem,
-                 *, D, kd, trq, WQO, wqp, nph):
+def _exit_body(wmat_ref, yp_hbm, dp_hbm, out_ref, conf_ref, band, L, sem,
+               dband, dsem, mrun, sd, *, D, kd, trq, WQO, wqp, nph):
     yt = pl.program_id(0)
     dt = pl.program_id(1)
     n_y = pl.num_programs(0)
     n_d = pl.num_programs(1)
     step = yt * n_d + dt
     slot = jax.lax.rem(step, 2)
+    with_d = dp_hbm is not None
 
     def mk_copy(y_i, d_i, s):
         return pltpu.make_async_copy(
@@ -109,6 +118,18 @@ def _exit_kernel(wmat_ref, yp_hbm, idx_ref, conf_ref, band, L, sem,
             band.at[s],
             sem.at[s],
         )
+
+    if with_d:
+        # single-slot hypothesis block for this step, started early so it
+        # rides behind the band prefetch and is waited only after the
+        # logits matmuls
+        def mk_dcopy():
+            return pltpu.make_async_copy(
+                dp_hbm.at[pl.ds(dt * kd, kd), pl.ds(yt * trq, trq)],
+                dband, dsem,
+            )
+
+        mk_dcopy().start()
 
     @pl.when(step == 0)
     def _():
@@ -140,6 +161,23 @@ def _exit_kernel(wmat_ref, yp_hbm, idx_ref, conf_ref, band, L, sem,
             )  # (WQO, nph) fp32
             L[dt * kd + od, r] = logits
 
+    if with_d:
+        # flash-style running (max, sum e·d): exact expectation over the
+        # true per-pixel hypotheses without a (D, ...) d scratch
+        @pl.when(dt == 0)
+        def _():
+            mrun[...] = jnp.full((trq, WQO, nph), -1e30, jnp.float32)
+            sd[...] = jnp.zeros((trq, WQO, nph), jnp.float32)
+
+        mk_dcopy().wait()
+        for od in range(kd):
+            for r in range(trq):
+                lg = L[dt * kd + od, r]  # (WQO, nph) fp32
+                m0 = mrun[r]
+                mn = jnp.maximum(m0, lg)
+                sd[r] = sd[r] * jnp.exp(m0 - mn) + jnp.exp(lg - mn) * dband[od, r]
+                mrun[r] = mn
+
     @pl.when(dt == n_d - 1)
     def _():
         shape = (trq, WQO, nph)
@@ -166,27 +204,47 @@ def _exit_kernel(wmat_ref, yp_hbm, idx_ref, conf_ref, band, L, sem,
             return c + jnp.where(msk, e, 0.0)
 
         Cw = jax.lax.fori_loop(0, D, cw, jnp.zeros(shape, jnp.float32))
-        idx_ref[...] = idx_f
+        # with_d: mrun ended at the same global max m, so sd / Z is the
+        # exact softmax expectation over the streamed hypotheses
+        out_ref[...] = sd[...] / Z if with_d else idx_f
         conf_ref[...] = Cw / Z
+
+
+def _exit_kernel(wmat_ref, yp_hbm, out_ref, conf_ref, band, L, sem, **kw):
+    _exit_body(wmat_ref, yp_hbm, None, out_ref, conf_ref, band, L, sem,
+               None, None, None, None, **kw)
+
+
+def _exit_kernel_d(wmat_ref, yp_hbm, dp_hbm, out_ref, conf_ref, band, L, sem,
+                   dband, dsem, mrun, sd, **kw):
+    _exit_body(wmat_ref, yp_hbm, dp_hbm, out_ref, conf_ref, band, L, sem,
+               dband, dsem, mrun, sd, **kw)
 
 
 def exit_softargmin(
     y: jnp.ndarray,  # (D, hq, wq, b²·C) s2d UNet exit (bf16)
     w_prob: jnp.ndarray,  # (3, 3, 3, C, 1) prob-conv weight (bias-free)
+    dvol: jnp.ndarray | None = None,  # (D, b·hq, b·wq) fp32 hypotheses
     b: int = 4,
     kd: int | None = None,
     trq: int = 4,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused exit: returns ``(idx_f, conf)`` maps, each ``(b·hq, b·wq)`` fp32.
+    """Fused exit: returns ``(out, conf)`` maps, each ``(b·hq, b·wq)`` fp32.
 
-    ``idx_f`` is the soft-argmin depth-plane index (``sum softmax(logits)*j``);
-    the caller reconstructs metric depth as ``d0 + (d1 - d0) * idx_f`` from
-    two hypothesis planes. ``conf`` equals
+    Without ``dvol``, ``out`` is the soft-argmin depth-plane index
+    (``sum softmax(logits)*j``); the caller reconstructs metric depth as
+    ``d0 + (d1 - d0) * idx_f`` — exact ONLY when the hypotheses are affine in
+    the plane index (stage 1's linspace). With ``dvol`` — the true per-pixel
+    hypothesis volume, clamped at the range edges and spatially resampled
+    (ops/sampling.py:66-69, reference module.py:413-416) — ``out`` is the
+    metric depth ``depth_regression(softmax(logits), dvol)`` computed exactly
+    in-kernel, which refined stages need because the saturating clamp breaks
+    affinity at the range edges. ``conf`` equals
     ``confidence_regression(softmax(logits))`` (ops/sampling.py). Matches
     ``depth_to_space(s2d_conv3d(y, w, pad=1))`` -> fp32 softmax -> regression
     up to fp32-accumulation-vs-bf16-logit rounding."""
-    from ..s2d import depth_to_space
+    from ..s2d import depth_to_space, space_to_depth
 
     D, hq, wq, CC = y.shape
     C = CC // (b * b)
@@ -205,29 +263,46 @@ def exit_softargmin(
     )
     wmat = build_exit_wmat(w_prob.astype(jnp.bfloat16), b=b, C=C)
 
-    kernel = functools.partial(
-        _exit_kernel, D=D, kd=kd, trq=trq, WQO=WQO, wqp=wqp, nph=nph
+    with_d = dvol is not None
+    kern = functools.partial(
+        _exit_kernel_d if with_d else _exit_kernel,
+        D=D, kd=kd, trq=trq, WQO=WQO, wqp=wqp, nph=nph,
     )
+    in_specs = [
+        pl.BlockSpec((9, CC, 3 * nph), lambda y_, d_: (0, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((2, kd + 2, trq + 2, wqp, CC), jnp.bfloat16),
+        pltpu.VMEM((D, trq, WQO, nph), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    operands = [wmat, yp]
+    if with_d:
+        assert dvol.shape == (D, hq * b, wq * b), (dvol.shape, (D, hq * b, wq * b))
+        dp = space_to_depth(dvol.astype(jnp.float32)[..., None], b)  # (D,hq,wq,16)
+        dp = jnp.pad(dp, ((0, 0), (0, n_y * trq - hq), (0, WQO - wq), (0, 0)))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        scratch_shapes += [
+            pltpu.VMEM((kd, trq, WQO, nph), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((trq, WQO, nph), jnp.float32),
+            pltpu.VMEM((trq, WQO, nph), jnp.float32),
+        ]
+        operands.append(dp)
     out_shape = jax.ShapeDtypeStruct((n_y * trq, WQO, nph), jnp.float32)
-    idx_f, conf = pl.pallas_call(
-        kernel,
+    out, conf = pl.pallas_call(
+        kern,
         grid=(n_y, D // kd),
-        in_specs=[
-            pl.BlockSpec((9, CC, 3 * nph), lambda y_, d_: (0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((trq, WQO, nph), lambda y_, d_: (y_, 0, 0)),
             pl.BlockSpec((trq, WQO, nph), lambda y_, d_: (y_, 0, 0)),
         ],
         out_shape=[out_shape, out_shape],
-        scratch_shapes=[
-            pltpu.VMEM((2, kd + 2, trq + 2, wqp, CC), jnp.bfloat16),
-            pltpu.VMEM((D, trq, WQO, nph), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(wmat, yp)
-    idx_map = depth_to_space(idx_f[None, :hq, :wq], b)[0, ..., 0]
+    )(*operands)
+    out_map = depth_to_space(out[None, :hq, :wq], b)[0, ..., 0]
     conf_map = depth_to_space(conf[None, :hq, :wq], b)[0, ..., 0]
-    return idx_map, conf_map
+    return out_map, conf_map

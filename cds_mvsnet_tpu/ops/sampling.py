@@ -48,8 +48,12 @@ def refined_depth_hypotheses(
     Args:
       cur_depth: ``(B, H, W)`` previous-stage depth at working resolution.
       depth_interval_pixel: ``(B, 1, 1)``-broadcastable step size.
-      min_depth, max_depth: ``(B, 1, 1, 1)``-broadcastable range clamps; the
-        reference clamps by shifting the whole window (module.py:394-417).
+      min_depth, max_depth: ``(B, 1, 1, 1)``-broadcastable range clamps.
+        Like the reference (module.py:413-416), each sample saturates
+        INDEPENDENTLY — windows at the range edges flatten (d0 == d1 ==
+        min_depth there), so the hypotheses are NOT affine in the plane
+        index at the edges (the ADVICE r4 finding the v9 exit-fusion tail
+        must respect).
       out_hw: optional spatial size to bilinearly (align_corners=False)
         downsample the hypothesis volume to, matching the reference's
         trilinear resample to stage resolution (model.py:191-193; the D axis

@@ -59,6 +59,53 @@ def test_exit_softargmin_matches_xla_tail(D, hq, wq, kd, trq):
     )
 
 
+@pytest.mark.parametrize("D,hq,wq,kd,trq", [(16, 8, 8, 4, 4), (12, 7, 8, 2, 2)])
+def test_exit_softargmin_streamed_hypotheses_clamped(D, hq, wq, kd, trq):
+    """With dvol streamed, the kernel's depth equals the XLA route's
+    depth_regression over the TRUE per-pixel hypotheses — including windows
+    saturated at the range edges, where hypotheses are NOT affine in the
+    plane index (the ADVICE r4 high finding: d0 == d1 == depth_min there, so
+    an affine reconstruction collapses to depth_min)."""
+    rng = np.random.default_rng(D * 31 + wq)
+    C, b = 8, 4
+    h, w = hq * b, wq * b
+    y = jnp.asarray(
+        rng.standard_normal((D, hq, wq, b * b * C)).astype(np.float32) * 0.3
+    ).astype(jnp.bfloat16)
+    wt = jnp.asarray(rng.standard_normal((3, 3, 3, C, 1)).astype(np.float32) * 0.1)
+
+    # per-pixel windows centered near/below depth_min so that a large
+    # fraction of windows saturates (reference module.py:413-416 semantics)
+    dmin, dmax, step = 425.0, 935.0, 2.5
+    cur = dmin + rng.uniform(-40.0, 60.0, (h, w)).astype(np.float32)
+    nl = (D - 1) // 2
+    j = np.arange(D, dtype=np.float32).reshape(D, 1, 1)
+    raw = (cur - nl * step)[None] + j * step
+    dvol = np.minimum(np.maximum(raw, dmin), dmax)
+    assert (dvol[0] == dvol[1]).any(), "fixture must hit the saturated regime"
+
+    logit = s2d_conv3d(y[None], wt, b_in=b, padding=1)
+    cost = depth_to_space(logit.reshape(D, hq, wq, -1), b).reshape(1, D, h, w)
+    prob = jax.nn.softmax(cost.astype(jnp.float32), axis=1)
+    depth_ref = depth_regression(prob, jnp.asarray(dvol)[None])[0]
+
+    depth_k, _ = exit_softargmin(
+        y, wt, dvol=jnp.asarray(dvol), kd=kd, trq=trq, interpret=True
+    )
+    assert depth_k.shape == (h, w)
+    # fp32 kernel logits vs bf16-rounded XLA cost: tolerance scales with the
+    # window width (step), not the absolute depth
+    np.testing.assert_allclose(
+        np.asarray(depth_k), np.asarray(depth_ref), atol=5e-2
+    )
+    # the affine reconstruction is provably wrong on saturated windows;
+    # verify the fixture would have caught it
+    idx_f, _ = exit_softargmin(y, wt, kd=kd, trq=trq, interpret=True)
+    affine = dvol[0] + (dvol[1] - dvol[0]) * np.asarray(idx_f)
+    sat = dvol[0] == dvol[1]
+    assert np.abs(affine - np.asarray(depth_ref))[sat].max() > 1.0
+
+
 def test_exit_softargmin_peaked_distribution():
     """A sharply peaked volume regresses to the peak plane with confidence
     ~1 (the regime real scenes are in)."""

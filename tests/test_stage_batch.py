@@ -107,6 +107,66 @@ def test_b_gt_1_pallas_route_matches_xla():
     assert np.median(err) < 0.02 * d_range, float(np.median(err))
 
 
+def test_exit_fusion_clamped_windows_no_collapse(monkeypatch):
+    """ADVICE r4 high: refined-stage hypothesis windows saturate at the
+    range edges, so the old affine reconstruction (d0 + (d1-d0)·idx_f from
+    CLAMPED planes) collapsed depth to depth_min wherever d0 == d1. The v9
+    tail now reconstructs from the UNCLAMPED affine params and clips; verify
+    against the exact XLA tail (CDS_EXIT_FUSION=off) on a scene whose
+    windows saturate over a large band."""
+    B, V, C, h, w, D = 1, 3, 8, 32, 32, 8
+    features, cams, _ = _make_inputs(B=B, V=V, C=C, h=h, w=w, D=D, seed=7)
+
+    from cds_mvsnet_tpu.ops.sampling import refined_depth_hypotheses
+
+    dmin, dmax, step = 8.0, 12.0, 0.5
+    yy = np.broadcast_to(np.linspace(0.0, 1.0, h)[:, None], (h, w))
+    # previous-stage depth ramps from below dmin (fully saturated windows)
+    # through the partial-clamp band into the interior
+    cur = jnp.asarray((dmin - 2.0 + 6.0 * yy)[None].astype(np.float32))
+    dv = refined_depth_hypotheses(
+        cur, D, jnp.full((B, 1, 1), step), jnp.full((B, 1, 1, 1), dmin),
+        jnp.full((B, 1, 1, 1), dmax),
+    )  # (B, D, h, w)
+    assert float(jnp.sum(dv[:, 0] == dv[:, 1])) > 0, "fixture must saturate"
+    nl = (D - 1) // 2
+    affine = (cur - nl * step, jnp.full((B, 1, 1), step),
+              jnp.full((B, 1, 1), dmin), jnp.full((B, 1, 1), dmax))
+
+    vis = init_vis_heads(jax.random.PRNGKey(0))
+    cr = init_cost_reg_net(jax.random.PRNGKey(1), in_channels=C)
+
+    monkeypatch.setenv("CDS_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("CDS_EXIT_FUSION", "off")
+    out_exact = stage_net(vis, cr, features, cams, dv, 2, s2d_eval=True)
+    monkeypatch.setenv("CDS_EXIT_FUSION", "v9")
+    out_v9 = stage_net(
+        vis, cr, features, cams, dv, 2, s2d_eval=True, depth_affine=affine
+    )
+    d_exact = np.asarray(out_exact["depth"][0])
+    d_v9 = np.asarray(out_v9["depth"][0])
+    # bounded by the window resolution everywhere (the partial-clamp band is
+    # approximate; interior and fully-saturated rows are exact up to fp32)
+    assert np.abs(d_v9 - d_exact).max() < step, np.abs(d_v9 - d_exact).max()
+    # the r4 failure mode: interior pixels collapsing to depth_min
+    interior = np.asarray(dv[0, 0] > dmin + 1e-6) & np.asarray(dv[0, -1] < dmax - 1e-6)
+    assert not np.any(d_v9[interior] == dmin)
+    np.testing.assert_allclose(d_v9[interior], d_exact[interior], atol=5e-3)
+
+    # v9x (streamed true hypotheses, interpret-only) is bit-exact vs the
+    # XLA tail's expectation over the SAME clamped volume
+    monkeypatch.setenv("CDS_EXIT_FUSION", "v9x")
+    out_v9x = stage_net(vis, cr, features, cams, dv, 2, s2d_eval=True)
+    np.testing.assert_allclose(
+        np.asarray(out_v9x["depth"][0]), d_exact, atol=5e-3
+    )
+
+    # without affine params the v9 gate falls through to the exact tail
+    monkeypatch.setenv("CDS_EXIT_FUSION", "v9")
+    out_fb = stage_net(vis, cr, features, cams, dv, 2, s2d_eval=True)
+    np.testing.assert_array_equal(np.asarray(out_fb["depth"]), np.asarray(out_exact["depth"]))
+
+
 def test_route_grammar_parse():
     """The CDS_WARP_ROUTE grammar (models/warp_routes.py) parses every form
     the r1-r3 A/B sweeps used."""
@@ -121,6 +181,9 @@ def test_route_grammar_parse():
     assert (v.variant, v.kd, v.ky, v.tr, v.emit_entropy) == ("v8", 2, 12, 16, False)
     assert (p("v8t24").tr, p("v8t24").kd) == (24, 4)
     assert p("v8t10").tr == 8  # not 8-aligned -> fallback
+    assert p("v8q4").cache_slots == 4 and p("v8q4").emit_entropy
+    assert p("v8s2y12q2").cache_slots == 2 and p("v8s2y12q2").kd == 2
+    assert p("v8").cache_slots == 1
     v = p("v7m2y12")
     assert (v.variant, v.kd, v.ky) == ("v7m", 2, 12)
     v = p("v6sdco4y12")
