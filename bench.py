@@ -72,12 +72,17 @@ def _watchdog(signum, frame):  # pragma: no cover - timing dependent
     os._exit(1)
 
 
-def _probe_backend(timeout_s: float, attempts: int) -> tuple[bool, str]:
+def _probe_backend(timeout_s: float, attempts: int, budget_s: float) -> tuple[bool, str]:
     """Fast-fail probe of the default (axon TPU) backend in a subprocess.
 
     A hung relay makes in-process ``jax.devices()`` block for minutes with no
     timeout; a subprocess can be killed. One tiny jitted op + host transfer
     proves dispatch AND readback work end to end.
+
+    The relay demonstrably flaps for minutes at a time (it zeroed the r2 AND
+    r4 driver captures), so the probe retries with exponential backoff until
+    ``attempts`` are spent or ``budget_s`` of wall clock has elapsed — one
+    flap must not forfeit the round's only externally-verified number.
     """
     code = (
         "import jax, numpy as np\n"
@@ -86,37 +91,51 @@ def _probe_backend(timeout_s: float, attempts: int) -> tuple[bool, str]:
         "print('OK', float(np.asarray(jax.device_get(y))))\n"
     )
     last = ""
+    t_start = time.monotonic()
     for i in range(attempts):
+        remaining = budget_s - (time.monotonic() - t_start)
+        if remaining <= 5.0:
+            return False, f"probe budget ({budget_s:.0f}s) exhausted; last: {last}"
         try:
             r = subprocess.run(
-                [sys.executable, "-c", code], timeout=timeout_s,
+                [sys.executable, "-c", code],
+                timeout=min(timeout_s, remaining),
                 capture_output=True, text=True,
             )
             if r.returncode == 0 and "OK" in r.stdout:
                 return True, ""
             last = (r.stderr or r.stdout).strip().splitlines()[-1] if (r.stderr or r.stdout) else "rc!=0"
         except subprocess.TimeoutExpired:
-            last = f"probe timed out after {timeout_s:.0f}s"
+            last = f"probe timed out after {min(timeout_s, remaining):.0f}s"
         if i + 1 < attempts:
-            time.sleep(15.0 * (i + 1))
+            backoff = min(10.0 * (1.6 ** i), 120.0)
+            backoff = min(backoff, max(0.0, budget_s - (time.monotonic() - t_start)))
+            if backoff > 0:
+                time.sleep(backoff)
     return False, last
 
 
 def main():
     signal.signal(signal.SIGALRM, _watchdog)
+    # Probe phase gets its own watchdog window: a relay flap is survivable
+    # (retries below), a hard hang is not. The run-phase alarm is re-armed
+    # after the probe succeeds so probe retries never eat the run budget.
+    probe_budget = float(os.environ.get("BENCH_PROBE_BUDGET_S", "900"))
+    signal.alarm(int(probe_budget) + 120)
+    ok, why = _probe_backend(
+        timeout_s=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120")),
+        attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "10")),
+        budget_s=probe_budget,
+    )
+    if not ok:
+        _emit_error("relay_down", why)
+        sys.exit(1)
+
     # A cold-cache compile of the B>1 unrolled program on the remote compile
     # server can exceed the B=1 budget several-fold; repeat runs hit the
     # persistent compilation cache and finish in ~1 min either way.
     default_budget = "540" if BATCH == 1 else "1800"
     signal.alarm(int(os.environ.get("BENCH_WALL_BUDGET_S", default_budget)))
-
-    ok, why = _probe_backend(
-        timeout_s=float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "120")),
-        attempts=int(os.environ.get("BENCH_PROBE_ATTEMPTS", "3")),
-    )
-    if not ok:
-        _emit_error("relay_down", why)
-        sys.exit(1)
 
     import jax
     import jax.numpy as jnp

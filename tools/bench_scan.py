@@ -81,6 +81,52 @@ def main():
     # compile is excluded by save_depths itself)
     depth_s = stats["p50_s"] * args.views
 
+    # -- step 1b: depth leg with outputs reduced to ONE in-jit scalar --
+    # Isolates the relay-transfer attribution (VERDICT r4 #7): the product
+    # loop ships ~9 MB/view (fp32 depth + 3 stage confidences) through the
+    # remote-TPU tunnel; this leg runs the SAME cascade + data loader but
+    # returns a checksum, so the delta vs step 1 IS the transfer cost. On a
+    # real TPU host (PCIe) the product loop sits near this rate.
+    import jax.numpy as jnp
+
+    from cds_mvsnet_tpu.data.eval_set import EvalDataset
+    from cds_mvsnet_tpu.data.loader import DataLoader
+    from cds_mvsnet_tpu.eval.depth_inference import resolve_fast_path
+    from cds_mvsnet_tpu.models import layers as _layers
+    from cds_mvsnet_tpu.models.cds_mvsnet import apply_cds_mvsnet
+
+    dtype, impl, prec = resolve_fast_path("auto", "auto", "auto", max_h=args.h, max_w=args.w)
+    _layers.set_default_precision(prec)
+
+    @jax.jit
+    def forward_checksum(params, imgs, proj, dv):
+        outputs, _ = apply_cds_mvsnet(
+            params, cfg, imgs, proj, dv, temperature=0.01, train=False,
+            compute_dtype=dtype, feature_impl=impl,
+        )
+        s = jnp.sum(outputs["refined_depth"].astype(jnp.float32))
+        for i in range(cfg.num_stages):
+            s = s + jnp.sum(
+                outputs[f"stage{i+1}"]["photometric_confidence"].astype(jnp.float32)
+            )
+        return s
+
+    ds = EvalDataset(
+        os.path.join(root, "data"), ["scan1"], nviews=args.nviews,
+        ndepths=args.ndepths, interval_scale=1.0, max_h=args.h, max_w=args.w,
+        dataset="general", refine=cfg.refine,
+    )
+    params_dev = jax.device_put(params)
+    ck_times = []
+    for batch in DataLoader(ds, batch_size=1, shuffle=False, num_workers=2):
+        t0 = time.perf_counter()
+        s = forward_checksum(
+            params_dev, batch["imgs"], batch["proj_matrices"], batch["depth_values"]
+        )
+        float(np.asarray(jax.device_get(s)))  # one-scalar barrier
+        ck_times.append(time.perf_counter() - t0)
+    depth_ck_s = float(np.median(ck_times[1:] if len(ck_times) > 1 else ck_times)) * args.views
+
     scan_dir = os.path.join(outdir, "scan1")
     fcfg = FusionConfig(
         n_src_views=args.nviews - 1, conf_thresholds=(0.0, 0.0, 0.3)
@@ -116,6 +162,9 @@ def main():
         "scans_per_sec_native_fusion": round(1.0 / total_native, 4),
         "depth_s_per_scan": round(depth_s, 3),
         "depth_maps_per_sec": round(stats["maps_per_sec"], 3),
+        "depth_checksum_s_per_scan": round(depth_ck_s, 3),
+        "depth_maps_per_sec_checksum": round(args.views / depth_ck_s, 3),
+        "relay_transfer_share_of_depth": round(1.0 - depth_ck_s / depth_s, 3),
         "fuse_jit_s_per_scan": round(fuse_jit_s, 3),
         "fuse_native_s_per_scan": round(fuse_native_s, 3),
         "fusion_share_jit": round(fuse_jit_s / total_jit, 3),
