@@ -10,10 +10,12 @@ least maintainable code in the tree).
 
 Grammar (first match wins; ``None`` = the default v8 route):
 
-- ``v8[s][r][<kd>][y<ky>][t<tr>]`` — MXU-contraction warp + vectorized y-mix +
-  in-kernel online-softmax entropy (default since r3). ``s`` emits the sim
-  volume instead of the entropy map, ``r`` uses v7m's per-row y-mix, ``t`` sets
-  output rows per tile (must divide the stage height, else falls back to 8).
+- ``v8[s][r][<kd>][y<ky>][t<tr>][q<slots>]`` — MXU-contraction warp +
+  vectorized y-mix + in-kernel online-softmax entropy (default since r3).
+  ``s`` emits the sim volume instead of the entropy map, ``r`` uses v7m's
+  per-row y-mix, ``t`` sets output rows per tile (must divide the stage
+  height, else falls back to 8), ``q`` sets the LRU band-cache slot count
+  (r5; >1 kills the dt-innermost DMA thrash, bit-exact).
 - ``v7m[<kd>][y<ky>]`` — MXU-contraction warp, sim emitted (default r2→r3).
 - ``v6sdc[g|o][<kd>][y<ky>]`` — in-kernel projective coords; ``g``/``o`` are
   the measured-negative window-gating A/B knobs (STATUS r2).
@@ -41,6 +43,7 @@ class WarpRouteSpec:
     tr: int = 8
     emit_entropy: bool = False  # v8 only
     row_ymix: bool = False  # v8 only
+    cache_slots: int = 1  # v8 only: LRU band-cache slots (1 = r4 tag cache)
     gate: str = "none"  # v6sdc only: "none" | "row" | "odloop"
     dma_cache: bool = False  # v6s only
 
@@ -74,6 +77,7 @@ def parse_fused_route(route: str | None, n_ch: int, D: int, h: int) -> WarpRoute
         if suffix.startswith("r"):
             row_ymix = True
             suffix = suffix[1:]
+        suffix, _, q_s = suffix.partition("q")
         kd_s, _, rest = suffix.partition("y")
         ky_s, _, tr_s = rest.partition("t")
         if not rest:
@@ -87,7 +91,7 @@ def parse_fused_route(route: str | None, n_ch: int, D: int, h: int) -> WarpRoute
             tr = 8
         return WarpRouteSpec(
             "v8", ky, _clamp_kd(kd, D), tr, emit_entropy=emit_entropy,
-            row_ymix=row_ymix,
+            row_ymix=row_ymix, cache_slots=int(q_s) if q_s else 1,
         )
     if route.startswith("v7m"):
         suffix = route[len("v7m"):]
@@ -157,7 +161,8 @@ def run_fused_warp(
             in_prod, aux = wk.warp_pallas_v8(
                 src, ref_k, dep, rt, w_valid=w, ky=spec.ky, kd=spec.kd,
                 tr=spec.tr, emit_entropy=spec.emit_entropy,
-                row_ymix=spec.row_ymix, interpret=interpret,
+                row_ymix=spec.row_ymix, cache_slots=spec.cache_slots,
+                interpret=interpret,
             )
             if spec.emit_entropy:
                 ent_k = aux

@@ -1089,7 +1089,8 @@ def warp_pallas_v7m(
 
 def _warp_kernel_v8(rt_ref, dep_ref, ref_ref, src_hbm, out_ref, ent_ref,
                     band, sem, tag_ref, m_ref, s_ref, u_ref, *, H, W, Hpad, C,
-                    ky, kd, tr, dtype, w_valid, nd, emit_entropy, row_ymix):
+                    ky, kd, tr, dtype, w_valid, nd, emit_entropy, row_ymix,
+                    cache_slots=1):
     """v7m successor: MXU x-contraction + two independently-measurable moves.
 
     1. Vectorized y-mix/epilogue (``row_ymix=False``): v7m's per-output-row
@@ -1104,16 +1105,35 @@ def _warp_kernel_v8(rt_ref, dep_ref, ref_ref, src_hbm, out_ref, ent_ref,
        sim stream to HBM and XLA's separate softmax-entropy pass over it both
        disappear; the kernel emits the (h, w) entropy map the vis head
        consumes directly (reference model.py:49-50 semantics).
+    3. ``cache_slots=S>1``: the 1-slot window tag cache thrashes with the
+       depth-innermost grid (a tile's windows alternate A,B,A,B… across its
+       kd steps, so ~90% of visits re-DMA a band already fetched moments ago
+       — tools/roofline.py measures 13.9k DMAs for 15.9k visits at stage 2
+       and predicts a 4-slot LRU leaves ~3k). S banded slots + an SMEM LRU
+       (valid, ys, xs, last-use) turn those re-fetches into VMEM hits; at
+       ~1 us per (non-overlapped) DMA issue that is ~23 ms/map of predicted
+       floor savings across the three stages. Bit-exact: the cache only
+       changes WHEN bands move, never what they contain.
     """
+    S = cache_slots
     first = (
         (pl.program_id(0) == 0) & (pl.program_id(1) == 0) & (pl.program_id(2) == 0)
     )
 
     @pl.when(first)
     def _():
-        tag_ref[0] = -1
-        tag_ref[1] = -1
-        tag_ref[2] = -1
+        if S == 1:
+            tag_ref[0] = -1
+            tag_ref[1] = -1
+            tag_ref[2] = -1
+        else:
+            for s_i in range(S):
+                tag_ref[s_i, 0] = -1
+                tag_ref[s_i, 1] = -1
+                tag_ref[s_i, 2] = -1
+                # distinct ages so the cold cache fills slots in order
+                tag_ref[s_i, 3] = s_i - S
+            tag_ref[S, 0] = 0  # visit counter (LRU clock)
 
     if emit_entropy:
         @pl.when(pl.program_id(2) == 0)
@@ -1179,20 +1199,58 @@ def _warp_kernel_v8(rt_ref, dep_ref, ref_ref, src_hbm, out_ref, ent_ref,
         in_win = myw & xin
 
         def hit(_):
-            cached = (tag_ref[0] == 1) & (tag_ref[1] == ys) & (tag_ref[2] == xs)
+            if S == 1:
+                cached = (tag_ref[0] == 1) & (tag_ref[1] == ys) & (tag_ref[2] == xs)
 
-            @pl.when(jnp.logical_not(cached))
-            def _():
-                copy = pltpu.make_async_copy(
-                    src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
-                )
-                copy.start()
-                copy.wait()
-                tag_ref[0] = 1
-                tag_ref[1] = ys
-                tag_ref[2] = xs
+                @pl.when(jnp.logical_not(cached))
+                def _():
+                    copy = pltpu.make_async_copy(
+                        src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)], band, sem
+                    )
+                    copy.start()
+                    copy.wait()
+                    tag_ref[0] = 1
+                    tag_ref[1] = ys
+                    tag_ref[2] = xs
 
-            band_flat = band[...].reshape((ky + 1) * C, KX)
+                band_flat = band[...].reshape((ky + 1) * C, KX)
+            else:
+                matches = [
+                    (tag_ref[s_i, 0] == 1)
+                    & (tag_ref[s_i, 1] == ys)
+                    & (tag_ref[s_i, 2] == xs)
+                    for s_i in range(S)
+                ]
+                hit_any = matches[0]
+                for m in matches[1:]:
+                    hit_any = hit_any | m
+                hit_idx = jnp.int32(0)
+                for s_i in range(1, S):
+                    hit_idx = jnp.where(matches[s_i], jnp.int32(s_i), hit_idx)
+                vic = jnp.int32(0)
+                vic_u = tag_ref[0, 3]
+                for s_i in range(1, S):
+                    older = tag_ref[s_i, 3] < vic_u
+                    vic = jnp.where(older, jnp.int32(s_i), vic)
+                    vic_u = jnp.where(older, tag_ref[s_i, 3], vic_u)
+                slot = jnp.where(hit_any, hit_idx, vic)
+
+                @pl.when(jnp.logical_not(hit_any))
+                def _():
+                    copy = pltpu.make_async_copy(
+                        src_hbm.at[pl.ds(ys, ky + 1), :, pl.ds(xs, KX)],
+                        band.at[slot], sem,
+                    )
+                    copy.start()
+                    copy.wait()
+                    tag_ref[slot, 0] = 1
+                    tag_ref[slot, 1] = ys
+                    tag_ref[slot, 2] = xs
+
+                cnt = tag_ref[S, 0]
+                tag_ref[slot, 3] = cnt
+                tag_ref[S, 0] = cnt + 1
+                band_flat = band[slot].reshape((ky + 1) * C, KX)
             out = list(accs)
             for od in range(kd):
                 w0 = (vx0[od] * myw[od]).reshape(1, tr * 128)
@@ -1281,12 +1339,14 @@ def warp_pallas_v8(
     tr: int = TR,
     emit_entropy: bool = True,
     row_ymix: bool = False,
+    cache_slots: int = 1,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """v7m successor (see :func:`_warp_kernel_v8`). Returns
     ``(in_prod (C, D, H_out, W_out), entropy (H_out, W_out) fp32)`` when
     ``emit_entropy`` (the default), else ``(in_prod, sim (D, H_out, W_out))``
-    exactly like :func:`warp_pallas_v7m`."""
+    exactly like :func:`warp_pallas_v7m`. ``cache_slots > 1`` enables the
+    S-slot LRU band cache (bit-exact; kills the dt-innermost DMA thrash)."""
     C, H, W = src_feat.shape
     D, H_out, W_out = depth.shape
     assert ref_feat.shape == (C, H_out, W_out), (ref_feat.shape, (C, H_out, W_out))
@@ -1303,8 +1363,11 @@ def warp_pallas_v8(
     kernel = functools.partial(
         _warp_kernel_v8, H=H, W=W, Hpad=Hp, C=C, ky=ky, kd=kd, tr=tr,
         dtype=dtype, w_valid=w_valid, nd=nd, emit_entropy=emit_entropy,
-        row_ymix=row_ymix,
+        row_ymix=row_ymix, cache_slots=cache_slots,
     )
+    S = cache_slots
+    band_shape = (ky + 1, C, KX) if S == 1 else (S, ky + 1, C, KX)
+    tag_shape = (3,) if S == 1 else (S + 1, 4)
     if emit_entropy:
         ent_spec = pl.BlockSpec((tr, 128), lambda y, x, d, rt: (y, x))
         ent_shape = jax.ShapeDtypeStruct((H_out, W_out), jnp.float32)
@@ -1324,9 +1387,9 @@ def warp_pallas_v8(
             ent_spec,
         ],
         scratch_shapes=[
-            pltpu.VMEM((ky + 1, C, KX), jnp.bfloat16),
+            pltpu.VMEM(band_shape, jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
-            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SMEM(tag_shape, jnp.int32),
             pltpu.VMEM((tr, 128), jnp.float32),
             pltpu.VMEM((tr, 128), jnp.float32),
             pltpu.VMEM((tr, 128), jnp.float32),

@@ -436,6 +436,34 @@ def test_warp_pallas_v8_entropy_matches_xla():
     np.testing.assert_allclose(np.asarray(ent), want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("slots", [2, 4])
+def test_warp_pallas_v8_lru_band_cache_bit_exact(slots):
+    """The S-slot LRU band cache (r5) only changes WHEN bands are DMA'd,
+    never their contents: in_prod and entropy must match the 1-slot kernel
+    bit-for-bit across a multi-tile, multi-depth-step grid (the thrash
+    pattern the cache exists for)."""
+    from cds_mvsnet_tpu.ops.pallas.warp import warp_pallas_v8
+
+    rng = np.random.default_rng(43)
+    H, W, C, D = 32, 256, 8, 8
+    q = lambda a: jnp.asarray(a, jnp.float32).astype(jnp.bfloat16)
+    src = q(rng.standard_normal((C, H, W)))
+    ref = q(rng.standard_normal((C, H, W)))
+    rot = (np.eye(3) + 0.02 * rng.standard_normal((3, 3))).astype(np.float32)
+    rot[2, :2] *= 0.02
+    trans = (50.0 * rng.standard_normal(3)).astype(np.float32)
+    dep = rng.uniform(400.0, 600.0, (D, H, W)).astype(np.float32)
+    rt = jnp.asarray(np.concatenate([rot.ravel(), trans]))
+
+    ip1, ent1 = warp_pallas_v8(src, ref, jnp.asarray(dep), rt, w_valid=250,
+                               kd=2, interpret=True)
+    ipS, entS = warp_pallas_v8(src, ref, jnp.asarray(dep), rt, w_valid=250,
+                               kd=2, cache_slots=slots, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ipS, np.float32),
+                                  np.asarray(ip1, np.float32))
+    np.testing.assert_array_equal(np.asarray(entS), np.asarray(ent1))
+
+
 def test_warp_pallas_v8_multiblock_entropy():
     """kd < D: the online (m, s, u) state must carry correctly across the
     tile's multiple depth grid-steps (kd=2 over D=8 -> 4 visits/tile)."""

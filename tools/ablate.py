@@ -163,6 +163,17 @@ CONFIG_SETS = {
         ("", "", {"CDS_COSTREG_FRONT": "pallasf3"}),
     ],
 }
+CONFIG_SETS["r5lru"] = [
+    # r5 S-slot LRU band cache (warp.py v8 cache_slots): the 1-slot tag
+    # cache thrashes on the dt-innermost grid (roofline.py: 31k DMAs for
+    # 38k visits; 4-slot LRU predicted to leave ~8k → ~23 ms/map at the
+    # measured ~1 us/DMA issue floor). Bit-exact (tests/test_pallas_warp.py).
+    "",  # default = v8 (1-slot)
+    ("", "1:v8q2,2:v8q2,3:v8q2"),
+    ("", "1:v8q4,2:v8q4,3:v8q4"),
+    ("", "1:v8q8,2:v8q8,3:v8q8"),
+]
+
 CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
 
 
