@@ -116,9 +116,22 @@ def apply_cds_mvsnet(
         (height // int(s_)) % 8 == 0 and (width // int(s_)) % 8 == 0
         for s_ in cfg.stage_scales[: cfg.num_stages]
     )
-    pallas_all = (
-        feature_impl == "s2d" and not train and gt_depths is None
-        and stage_dims_ok and jax.default_backend() in ("tpu", "axon")
+    import os as _os
+
+    pallas_like = (
+        feature_impl == "s2d" and not train and gt_depths is None and stage_dims_ok
+    )
+    pallas_all = pallas_like and jax.default_backend() in ("tpu", "axon")
+    # CDS_SRC_ROWS=1: emit warp-source features straight into the v7m/v8
+    # kernels' (H, C, W) band layout off the s2d exit — the (C, H, W)
+    # intermediate and its prep_src_rows relayout never materialize
+    # (VERDICT r4 #4; route-gated until the on-device A/B lands).
+    src_rows_on = (
+        pallas_like
+        and (pallas_all or bool(_os.environ.get("CDS_PALLAS_INTERPRET")))
+        and compute_dtype == jnp.bfloat16
+        and _os.environ.get("CDS_SRC_ROWS", "0") == "1"
+        and (feature_chunk is None or feature_chunk >= 2 * (V - 1) * B)
     )
 
     depth_min = depth_values[:, 0]
@@ -151,7 +164,8 @@ def apply_cds_mvsnet(
             from .feature_net_s2d import feature_net_s2d
 
             return feature_net_s2d(
-                params["feature"], xs, es, temperature, channels_first=pallas_all
+                params["feature"], xs, es, temperature, channels_first=pallas_all,
+                src_rows_split=(V - 1) * B if src_rows_on else 0,
             )
         if feature_impl == "folded" and not train:
             from .feature_net_folded import feature_net_folded
@@ -171,7 +185,6 @@ def apply_cds_mvsnet(
         )
 
     n_stack = stacked.shape[0]
-    import os as _os
 
     if "nofeat" in _os.environ.get("CDS_ABLATE", ""):
         # CDS_ABLATE profiling knob (tools/ablate.py): replace the feature
@@ -179,12 +192,9 @@ def apply_cds_mvsnet(
         # whole FeatureNet DCEs out of the compiled program.
         shapes = jax.eval_shape(run_features, stacked, epis)
         scal = stacked.mean() * 0.01
-        feats_all = {
-            s: tuple(
-                jnp.broadcast_to(scal.astype(t.dtype), t.shape) for t in ts
-            )
-            for s, ts in shapes.items()
-        }
+        feats_all = jax.tree.map(
+            lambda t: jnp.broadcast_to(scal.astype(t.dtype), t.shape), shapes
+        )
     elif feature_chunk is None or feature_chunk >= n_stack or train:
         feats_all = run_features(stacked, epis)
     else:
@@ -202,9 +212,21 @@ def apply_cds_mvsnet(
     def unstack(t):  # (2(V-1)B, h, w, c) -> (2, V-1, B, h, w, c)
         return t.reshape(2, V - 1, B, *t.shape[1:])
 
-    features_ms = {
-        s: tuple(unstack(t) for t in feats_all[s]) for s in feats_all
-    }
+    if src_rows_on:
+        # feat per stage is (lead_refs ((V-1)B, C, h, w), rows_srcs
+        # ((V-1)B, h, C, w)); nc maps stay one whole-stack tensor
+        features_ms = {
+            s: (
+                tuple(half.reshape(V - 1, B, *half.shape[1:]) for half in ts[0]),
+                unstack(ts[1]),
+                unstack(ts[2]),
+            )
+            for s, ts in feats_all.items()
+        }
+    else:
+        features_ms = {
+            s: tuple(unstack(t) for t in feats_all[s]) for s in feats_all
+        }
 
     outputs: dict[str, Any] = {}
     depth = None
@@ -214,13 +236,23 @@ def apply_cds_mvsnet(
         h_s, w_s = height // scale, width // scale
         ndepth = cfg.ndepths[stage_idx]
 
-        features = [
-            {
-                "ref": tuple(t[0, v] for t in features_ms[stage_name]),
-                "src": tuple(t[1, v] for t in features_ms[stage_name]),
-            }
-            for v in range(V - 1)
-        ]
+        if src_rows_on:
+            feat_halves, nc1, nc2 = features_ms[stage_name]
+            features = [
+                {
+                    "ref": (feat_halves[0][v], nc1[0, v], nc2[0, v]),
+                    "src": (feat_halves[1][v], nc1[1, v], nc2[1, v]),
+                }
+                for v in range(V - 1)
+            ]
+        else:
+            features = [
+                {
+                    "ref": tuple(t[0, v] for t in features_ms[stage_name]),
+                    "src": tuple(t[1, v] for t in features_ms[stage_name]),
+                }
+                for v in range(V - 1)
+            ]
 
         depth_affine = None
         if depth is None:
@@ -274,6 +306,7 @@ def apply_cds_mvsnet(
             train=train,
             s2d_eval=(feature_impl == "s2d" and h_s % 8 == 0 and w_s % 8 == 0),
             channels_first=pallas_all,
+            src_rows=src_rows_on,
             cost_dtype=cost_dtype,
             collector=collector,
             cost_reg_path=cost_reg_path,

@@ -167,11 +167,29 @@ def _d2s_cfirst(x, b, C):
     return jnp.transpose(x, (0, 5, 1, 3, 2, 4)).reshape(N, C, Hp * b, Wp * b)
 
 
+def _d2s_rows(x, b, C):
+    """(N, H', W', b²·C) -> (N, H, C, W): depth-to-space straight into the
+    v7m/v8 warp kernels' band-source layout (warp.py prep_src_rows), so the
+    (C, H, W) intermediate and its second relayout pass never materialize
+    (CDS_SRC_ROWS route; VERDICT r4 #4). Equals
+    ``transpose(_d2s_cfirst(x), (0, 2, 1, 3))`` exactly."""
+    N, Hp, Wp, _ = x.shape
+    x = x.reshape(N, Hp, Wp, b, b, C)
+    return jnp.transpose(x, (0, 1, 3, 5, 2, 4)).reshape(N, Hp * b, C, Wp * b)
+
+
 def feature_net_s2d(p: Params, x: jnp.ndarray, epipole: jnp.ndarray, temperature,
-                    channels_first: bool = False):
+                    channels_first: bool = False, src_rows_split: int = 0):
     """``x (N,H,W,3)``, ``epipole (N,2)`` -> per-stage (feat (N,h,w,C) — or
     (N,C,h,w) with ``channels_first`` — nc_sum (N,h,w), |nc| (N,h,w));
-    equals :func:`feature_net` at eval."""
+    equals :func:`feature_net` at eval.
+
+    ``src_rows_split > 0``: batch entries ``[split:]`` are warp SOURCE views,
+    consumed only by the v7m/v8 kernels' (H, C, W) band DMA — their feats are
+    emitted in that layout directly off the s2d exit (one relayout pass
+    instead of d2s + prep_src_rows; VERDICT r4 #4). Each stage's feat is then
+    a tuple ``(lead (split, C|.., ...) per channels_first, rows_srcs
+    (N-split, h, C, w))``; nc maps stay whole-batch."""
     N, H, W, _ = x.shape
     base = BASE_CHANNELS
     B0, B1, B2 = 8, 4, 2  # block sizes at full / half / quarter resolution
@@ -206,8 +224,15 @@ def feature_net_s2d(p: Params, x: jnp.ndarray, epipole: jnp.ndarray, temperature
     conv21, nc21 = dyn_wrapped("conv21", conv20, quad2, B2, 4 * base)
 
     outputs = {}
-    d2s = (lambda t, b, C: _d2s_cfirst(t, b, C)) if channels_first else (
+    lead_d2s = (lambda t, b, C: _d2s_cfirst(t, b, C)) if channels_first else (
         lambda t, b, C: depth_to_space(t, b))
+    if src_rows_split:
+        S0 = src_rows_split
+
+        def d2s(t, b, C):
+            return (lead_d2s(t[:S0], b, C), _d2s_rows(t[S0:], b, C))
+    else:
+        d2s = lead_d2s
     intra = conv21
     out, nc22 = _dyn_s2d(p["out1"], intra, quad2, temperature, _DYN_KERNELS["out1"], B2,
                          name="out1")

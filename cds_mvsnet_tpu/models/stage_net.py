@@ -67,6 +67,7 @@ def stage_net(
     train: bool = False,
     s2d_eval: bool = False,
     channels_first: bool = False,
+    src_rows: bool = False,
     cost_dtype=None,
     collector: StatsCollector | None = None,
     path: str = "stage_net",
@@ -81,6 +82,8 @@ def stage_net(
       features: per source view, ``{"ref": (feat, nc_sum, nc), "src": (...)}``
         with feats ``(B, h, w, C)`` (the reference recomputes ref features per
         source pair because the epipole differs — model.py:154-161).
+        ``src_rows``: src feats arrive in the v7m/v8 warp kernels' (B, h, C, w)
+        band layout straight off the feature net (CDS_SRC_ROWS route).
       cams: ``(B, V, 2, 4, 4)`` packed stage cameras (view 0 = reference).
       depth_values: ``(B, D, h, w)`` per-pixel hypotheses.
       gt_depth: optional ``(B, h, w)`` for the feature-metric loss branch.
@@ -120,7 +123,7 @@ def stage_net(
             return _stage_net_pallas(
                 vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
                 cost_dtype=cost_dtype, channels_first=channels_first,
-                depth_affine=depth_affine,
+                src_rows=src_rows, depth_affine=depth_affine,
             )
         # B > 1 single-chip eval: unroll over the batch so every slice keeps
         # the B=1 Pallas kernel route (VERDICT r3 weak #3 — previously this
@@ -140,6 +143,7 @@ def stage_net(
                 stage_idx,
                 cost_dtype=cost_dtype,
                 channels_first=channels_first,
+                src_rows=src_rows,
                 depth_affine=None if depth_affine is None else tuple(
                     t[b : b + 1] for t in depth_affine
                 ),
@@ -149,6 +153,15 @@ def stage_net(
         return {
             k: jnp.concatenate([o[k] for o in outs], axis=0) for k in outs[0]
         }
+    if src_rows:  # fell off the kernel route: srcs back to the ref layout
+        _perm = (0, 2, 1, 3) if channels_first else (0, 1, 3, 2)
+        features = [
+            {
+                "ref": pair["ref"],
+                "src": (jnp.transpose(pair["src"][0], _perm),) + pair["src"][1:],
+            }
+            for pair in features
+        ]
     if channels_first:  # XLA fallback consumes channel-last features
         features = [
             {k: (jnp.moveaxis(f[0], 1, -1), f[1], f[2]) for k, f in pair.items()}
@@ -284,12 +297,15 @@ def stage_net(
 
 
 def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values, stage_idx,
-                      cost_dtype=None, channels_first=False, depth_affine=None):
+                      cost_dtype=None, channels_first=False, src_rows=False,
+                      depth_affine=None):
     """Eval stage with the Pallas banded-DMA warp kernel (B=1).
 
     The warp outputs W-minor ``(C, D, h, w)`` volumes, so similarity,
     visibility weighting, and accumulation all run padding-free; one
-    transpose feeds the s2d cost regularization.
+    transpose feeds the s2d cost regularization. ``src_rows``: src feats
+    arrive in the v7m/v8 kernels' (B, h, C, w) band layout straight off the
+    feature net (CDS_SRC_ROWS route); non-fused fallbacks transpose back.
     """
     from ..ops.geometry import plane_sweep_coords
     from ..ops.grid_sample import pack_2x2, sample_packed_2x2
@@ -339,6 +355,8 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
         for v in range(1, V):
             ref_feat = features[v - 1]["ref"][0]
             src_feat = features[v - 1]["src"][0]
+            if src_rows:  # (1, h, C, w) -> (1, C, h, w) for the v6s kernel
+                src_feat = jnp.transpose(src_feat, (0, 2, 1, 3))
             refs.append(ref_feat[0] if channels_first else jnp.moveaxis(ref_feat[0], -1, 0))
             srcs.append(src_feat[0] if channels_first else jnp.moveaxis(src_feat[0], -1, 0))
             px, py = plane_sweep_coords(ref_cam, cams[:, v], depth_values, h, w)
@@ -419,6 +437,11 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
                 f"{k}{stage_idx + 1}" in _ablate for k in ("nowarp", "novis", "nocoords")
             )
         )
+        if src_rows and not fused:
+            # non-fused fallbacks consume the lead layout — transpose back
+            src_feat = jnp.transpose(
+                src_feat, (0, 2, 1, 3) if channels_first else (0, 1, 3, 2)
+            )
         if fused:
             # v6s+ kernels fuse in_prod = ref⊙warped and sim (v8: entropy)
             # into the warp — the separate full-volume fp32 sim pass and the
@@ -426,11 +449,14 @@ def _stage_net_pallas(vis_params, cost_reg_params, features, cams, depth_values,
             # their measured A/B provenance) live in models/warp_routes.py;
             # px/py are dead for the in-kernel-coords routes (v8/v7m/v6sdc)
             # and DCE'd by jit.
-            src_t = src_feat[0] if channels_first else jnp.moveaxis(src_feat[0], -1, 0)
+            src_t = (
+                src_feat[0] if (channels_first or src_rows)
+                else jnp.moveaxis(src_feat[0], -1, 0)
+            )
             spec = parse_fused_route(route, n_ch, D, h)
             in_prod, sim_k, ent_k = run_fused_warp(
                 spec, src_t, ref_t, px, py, depth_values, ref_cam, cams[:, v],
-                interpret=_interp,
+                src_rows=src_rows, interpret=_interp,
             )
             if ent_k is not None:  # v8 emitted the entropy map directly
                 entropy = ent_k  # (1, h, w)

@@ -127,6 +127,7 @@ def run_fused_warp(
     depth_values: jnp.ndarray,  # (1, D) or (1, D, h, w)
     ref_cam: jnp.ndarray,  # (1, 2, 4, 4)
     src_cam: jnp.ndarray,
+    src_rows: bool = False,
     interpret: bool = False,
 ):
     """Dispatch one view's fused warp. Returns ``(in_prod (C, D, h, w),
@@ -134,11 +135,20 @@ def run_fused_warp(
 
     Width padding to the 128-lane grid (junk coords -> zero output) and the
     homography-scalar prep for the in-kernel-coords routes happen here.
+    ``src_rows``: ``src`` arrives in the v7m/v8 kernels' (h, C, w) band
+    layout straight off the feature net (CDS_SRC_ROWS route); the archived
+    routes that still want (C, h, w) transpose it back here.
     """
     from ..ops.geometry import relative_warp_transform
     from ..ops.pallas import warp as wk
 
-    C, h, w = src.shape
+    if src_rows and spec.variant not in ("v8", "v7m"):
+        src = jnp.transpose(src, (1, 0, 2))  # archive routes: back to (C, h, w)
+        src_rows = False
+    if src_rows:
+        h, C, w = src.shape
+    else:
+        C, h, w = src.shape
     D = depth_values.shape[1]
     Wp = ((w + 127) // 128) * 128
     ref_k = jnp.pad(ref, ((0, 0), (0, 0), (0, Wp - w))) if Wp != w else ref
@@ -162,7 +172,7 @@ def run_fused_warp(
                 src, ref_k, dep, rt, w_valid=w, ky=spec.ky, kd=spec.kd,
                 tr=spec.tr, emit_entropy=spec.emit_entropy,
                 row_ymix=spec.row_ymix, cache_slots=spec.cache_slots,
-                interpret=interpret,
+                src_rows=src_rows, interpret=interpret,
             )
             if spec.emit_entropy:
                 ent_k = aux
@@ -171,7 +181,7 @@ def run_fused_warp(
         elif spec.variant == "v7m":
             in_prod, sim_k = wk.warp_pallas_v7m(
                 src, ref_k, dep, rt, w_valid=w, ky=spec.ky, kd=spec.kd,
-                interpret=interpret,
+                src_rows=src_rows, interpret=interpret,
             )
         else:
             in_prod, sim_k = wk.warp_pallas_v6sdc(

@@ -1038,16 +1038,27 @@ def warp_pallas_v7m(
     ky: int = 8,
     kd: int = 4,
     tr: int = TR,
+    src_rows: bool = False,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """MXU-contraction variant of :func:`warp_pallas_v6sdc` (same contract;
-    outputs agree to bf16 x-lerp-weight rounding, not bit-exact)."""
-    C, H, W = src_feat.shape
+    outputs agree to bf16 x-lerp-weight rounding, not bit-exact).
+    ``src_rows``: ``src_feat`` is already in the kernel's (H, C, W) band
+    layout (emitted straight off the feature net's s2d exit — the (C, H, W)
+    intermediate and its extra relayout pass never exist)."""
+    if src_rows:
+        H, C, W = src_feat.shape
+    else:
+        C, H, W = src_feat.shape
     D, H_out, W_out = depth.shape
     assert ref_feat.shape == (C, H_out, W_out), (ref_feat.shape, (C, H_out, W_out))
     assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
     assert D % kd == 0, (D, kd)
-    rows = prep_src_rows(src_feat, channels_first=True)
+    rows = (
+        src_feat.astype(jnp.bfloat16)
+        if src_rows
+        else prep_src_rows(src_feat, channels_first=True)
+    )
     Hp = ((H + ky - 1) // ky) * ky + 1
     Wp = ((W + 127) // 128) * 128
     if (Hp, Wp) != (H, W):
@@ -1340,19 +1351,29 @@ def warp_pallas_v8(
     emit_entropy: bool = True,
     row_ymix: bool = False,
     cache_slots: int = 1,
+    src_rows: bool = False,
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """v7m successor (see :func:`_warp_kernel_v8`). Returns
     ``(in_prod (C, D, H_out, W_out), entropy (H_out, W_out) fp32)`` when
     ``emit_entropy`` (the default), else ``(in_prod, sim (D, H_out, W_out))``
     exactly like :func:`warp_pallas_v7m`. ``cache_slots > 1`` enables the
-    S-slot LRU band cache (bit-exact; kills the dt-innermost DMA thrash)."""
-    C, H, W = src_feat.shape
+    S-slot LRU band cache (bit-exact; kills the dt-innermost DMA thrash).
+    ``src_rows``: ``src_feat`` arrives pre-transposed in the (H, C, W) band
+    layout (see :func:`warp_pallas_v7m`)."""
+    if src_rows:
+        H, C, W = src_feat.shape
+    else:
+        C, H, W = src_feat.shape
     D, H_out, W_out = depth.shape
     assert ref_feat.shape == (C, H_out, W_out), (ref_feat.shape, (C, H_out, W_out))
     assert W_out % 128 == 0 and H_out % tr == 0, (H_out, W_out, tr)
     assert D % kd == 0, (D, kd)
-    rows = prep_src_rows(src_feat, channels_first=True)
+    rows = (
+        src_feat.astype(jnp.bfloat16)
+        if src_rows
+        else prep_src_rows(src_feat, channels_first=True)
+    )
     Hp = ((H + ky - 1) // ky) * ky + 1
     Wp = ((W + 127) // 128) * 128
     if (Hp, Wp) != (H, W):

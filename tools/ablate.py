@@ -173,6 +173,21 @@ CONFIG_SETS["r5lru"] = [
     ("", "1:v8q4,2:v8q4,3:v8q4"),
     ("", "1:v8q8,2:v8q8,3:v8q8"),
 ]
+CONFIG_SETS["r5rows"] = [
+    # r5 src-rows feature emission (VERDICT r4 #4): warp-source features
+    # leave the feature net already in the v8 kernel's (h, C, w) band layout
+    # — the (C, h, w) intermediate + prep_src_rows relayout pass per view
+    # never materialize. Bit-exact (tests/test_src_rows.py).
+    "",  # default = lead layout + prep_src_rows
+    ("", "", {"CDS_SRC_ROWS": "1"}),
+]
+CONFIG_SETS["r5combo"] = [
+    # best-of-r5 candidate stack vs default, isolating each knob
+    "",
+    ("", "", {"CDS_SRC_ROWS": "1"}),
+    ("", "1:v8q4,2:v8q4,3:v8q4"),
+    ("", "1:v8q4,2:v8q4,3:v8q4", {"CDS_SRC_ROWS": "1"}),
+]
 
 CONFIGS = CONFIG_SETS[os.environ.get("CDS_ABLATE_SET", "costreg")]
 
