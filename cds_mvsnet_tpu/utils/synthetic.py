@@ -29,6 +29,7 @@ def textured_plane_batch(
     depth_max: float = 905.0,
     seed: int = 0,
     refine: bool = False,
+    tz_step: float = 0.0,
 ):
     """Geometrically consistent views of a textured fronto-parallel plane.
 
@@ -36,6 +37,14 @@ def textured_plane_batch(
     plane z = plane_depth, so a correct MVS pipeline should recover
     ``plane_depth`` everywhere the views overlap — a ground-truth-bearing
     end-to-end fixture.
+
+    ``tz_step``: per-view camera z-offset ``tz = tz_step * v``. The default
+    pure-x/y rig puts every epipole at infinity, which the torch reference's
+    ``compute_epipole`` 2x2 solve cannot represent (dynamic_conv.py:46
+    inverts a singular matrix) — a nonzero step makes the rig
+    reference-safe for golden cross-checks while keeping the exact-GT
+    rendering (view 0, the reference view, stays at tz = 0 so
+    ``gt_plane_depth`` is unchanged).
     """
     rng = np.random.default_rng(seed)
     f = 1.1 * W
@@ -52,7 +61,7 @@ def textured_plane_batch(
     imgs = np.zeros((V, H, W, 3), dtype=np.float32)
     ys, xs = np.meshgrid(np.arange(H) + 0.0, np.arange(W) + 0.0, indexing="ij")
     for v in range(V):
-        t = np.array([18.0 * (v - (V - 1) / 2), 6.0 * ((v % 2) - 0.5), 0.0])
+        t = np.array([18.0 * (v - (V - 1) / 2), 6.0 * ((v % 2) - 0.5), tz_step * v])
         R = np.eye(3)
         E = np.eye(4)
         E[:3, :3] = R
@@ -60,9 +69,11 @@ def textured_plane_batch(
         cams[v, 0] = E
         cams[v, 1, :3, :3] = K
         cams[v, 1, 3, 3] = 1.0
-        # ray through each pixel hits plane z = plane_depth (world frame)
-        Xw = (xs - K[0, 2]) / f * plane_depth + t[0]
-        Yw = (ys - K[1, 2]) / f * plane_depth + t[1]
+        # ray through each pixel hits plane z = plane_depth (world frame);
+        # with R = I the camera-frame depth of the plane is plane_depth - tz
+        z_cam = plane_depth - t[2]
+        Xw = (xs - K[0, 2]) / f * z_cam + t[0]
+        Yw = (ys - K[1, 2]) / f * z_cam + t[1]
         u = (Xw / extent + 0.5) * (tex_n - 1)
         vgrid = (Yw / extent + 0.5) * (tex_n - 1)
         u0 = np.clip(np.floor(u).astype(int), 0, tex_n - 2)

@@ -46,7 +46,12 @@ H, W, V, D = 864, 1152, 5, 192
 def _fixture():
     from cds_mvsnet_tpu.utils.synthetic import textured_plane_batch
 
-    batch = textured_plane_batch(V=V, H=H, W=W, D=D, refine=False)
+    # tz_step: the bench fixture's pure-x/y rig puts every epipole at
+    # infinity, which crashes the torch reference's compute_epipole 2x2
+    # solve (dynamic_conv.py:46) — a small per-view z-offset keeps the
+    # exact-GT rendering and makes the rig reference-safe. Both legs share
+    # this fixture, so the comparison stays apples-to-apples.
+    batch = textured_plane_batch(V=V, H=H, W=W, D=D, refine=False, tz_step=6.0)
     batch.pop("gt_plane_depth")
     return batch
 
