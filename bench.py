@@ -46,6 +46,16 @@ else:
 # B=4 fits HBM and wins at both points. B=8's unrolled program fails the
 # remote compile server (HTTP 500), and would only amortize ~8 ms/map more.
 BATCH = int(os.environ.get("BENCH_BATCH", "4"))
+# Operating-point knobs (fast presets, README "operating points"): D is the
+# stage-1 sweep size (reference test.py --numdepth), NDEPTHS the per-stage
+# refined counts (reference CDSMVSNet ndepths). Defaults = the published
+# protocol; the quality gate below measures what a preset costs in mm.
+D = int(os.environ.get("BENCH_NUMDEPTH", str(D)))
+NDEPTHS = tuple(
+    int(x) for x in os.environ.get("BENCH_NDEPTHS", "48,32,8").split(",")
+)
+# the 3-level cost-reg UNet strides depth 2x three times: counts must be %8
+assert len(NDEPTHS) == 3 and not any(d % 8 for d in NDEPTHS), NDEPTHS
 WARMUP = 2
 ITERS = 8
 
@@ -160,7 +170,7 @@ def main():
         jnp.bfloat16 if os.environ.get("BENCH_DTYPE", "bf16") == "bf16" else jnp.float32
     )
 
-    cfg = ModelConfig(refine=REFINE)
+    cfg = ModelConfig(refine=REFINE, ndepths=NDEPTHS)
     ckpt = "/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth"
     if os.path.exists(ckpt):
         from cds_mvsnet_tpu.models.convert import convert_checkpoint
@@ -266,6 +276,7 @@ def main():
         json.dumps(
             {
                 "metric": f"DTU depth maps/sec/chip at {W}x{H}, {V} views, {D} depths"
+                + (f" [ndepths={','.join(map(str, NDEPTHS))}]" if NDEPTHS != (48, 32, 8) else "")
                 + (" (protocol: refine on)" if REFINE else "")
                 + (f" [B={BATCH} batched dispatch]" if BATCH > 1 else "")
                 + " " + rate_tag,

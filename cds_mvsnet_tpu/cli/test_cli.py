@@ -17,6 +17,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", required=True, help="checkpoint (.npz ours or .pth/.ckpt torch)")
     p.add_argument("--outdir", default="./outputs")
     p.add_argument("--numdepth", type=int, default=192)
+    p.add_argument(
+        "--stage_ndepths", default=None,
+        help="comma list of per-stage hypothesis counts, e.g. 32,16,8 "
+             "(default 48,32,8 — the reference operating point; smaller "
+             "counts trade accuracy for throughput, see README presets)",
+    )
     p.add_argument("--interval_scale", type=float, default=1.06)
     p.add_argument("--num_view", type=int, default=5)
     p.add_argument("--max_h", type=int, default=864)
@@ -83,6 +89,16 @@ def main(argv=None):
         )
 
     model_cfg = ModelConfig(refine=not args.no_refinement)
+    if args.stage_ndepths:
+        nd = tuple(int(x) for x in args.stage_ndepths.split(","))
+        # the 3-level cost-reg UNet strides the depth axis 2x three times
+        # (reference module.py CostRegNet), so each stage count must be
+        # divisible by 8 — same constraint the reference's (48, 32, 8) obeys
+        if len(nd) != 3 or any(d % 8 for d in nd):
+            raise SystemExit(
+                f"--stage_ndepths must be three multiples of 8, got {nd}"
+            )
+        model_cfg = ModelConfig(refine=model_cfg.refine, ndepths=nd)
     params = load_any_checkpoint(args.resume)
     if not model_cfg.refine:
         params.pop("refine_network", None)
