@@ -65,6 +65,13 @@ class TrainConfig:
     # "fp32" (reference-parity) or "bf16": conv/feature/volume compute dtype
     # of the train step; master params, loss, softmaxes stay fp32 (§5.7)
     compute_dtype: str = "fp32"
+    # jax.checkpoint the FeatureNet in the train step: its full-resolution
+    # dynamic-conv intermediates dominate the HBM peak. Default ON — the
+    # reference-parity config (fp32, DTU 512x640, B=2) overflows a 16G chip
+    # by ~180M without it (measured: with remat it runs at 1.491 s/step);
+    # the recompute costs bf16 +6% (0.975 vs 0.919 s/step), turn off for
+    # memory-comfortable bf16 runs. Bit-exact (tests/test_train_remat.py).
+    remat_features: bool = True
 
 
 @dataclass(frozen=True)

@@ -83,6 +83,7 @@ def apply_cds_mvsnet(
     feature_chunk: int | None = None,
     feature_impl: str = "plain",  # "plain" | "folded" | "s2d" (eval-only variants)
     cost_dtype=None,
+    remat_features: bool = False,
 ) -> tuple[dict[str, Any], dict[str, jnp.ndarray]]:
     """Run the cascade.
 
@@ -97,6 +98,12 @@ def apply_cds_mvsnet(
         regression stay fp32 regardless.
       feature_chunk: process the 2·(V−1)-image stacked FeatureNet batch this
         many images at a time to bound full-resolution activation peaks.
+      remat_features: training only — wrap the FeatureNet in
+        ``jax.checkpoint`` so its full-resolution internals (the dynamic-conv
+        curvature/attention intermediates dominate the train step's HBM peak)
+        are recomputed in the backward pass instead of stored. BN running-stat
+        updates are returned functionally from the remat boundary so the
+        wrapped function stays pure.
 
     Returns:
       (outputs, batch-norm running-stat updates). ``outputs`` has per-stage
@@ -159,7 +166,7 @@ def apply_cds_mvsnet(
 
     stacked = stacked.astype(compute_dtype)
 
-    def run_features(xs, es):
+    def run_features(xs, es, coll=None):
         if feature_impl == "s2d" and not train:
             from .feature_net_s2d import feature_net_s2d
 
@@ -179,7 +186,8 @@ def apply_cds_mvsnet(
         order = tuple(2 * v + kind for kind in (0, 1) for v in range(V - 1))
         return feature_net(
             params["feature"], xs, es, temperature,
-            train=train, collector=collector, path="feature", axis_name=axis_name,
+            train=train, collector=collector if coll is None else coll,
+            path="feature", axis_name=axis_name,
             bn_groups=2 * (V - 1) if train else 1,
             bn_group_order=order,
         )
@@ -195,6 +203,19 @@ def apply_cds_mvsnet(
         feats_all = jax.tree.map(
             lambda t: jnp.broadcast_to(scal.astype(t.dtype), t.shape), shapes
         )
+    elif train and remat_features:
+        # Rematerialize the FeatureNet: its full-resolution dynamic-conv
+        # intermediates dominate the train step's HBM peak (the fp32 DTU
+        # shape B=2 exceeds a 16G chip by ~180M without this). BN updates
+        # ride the remat boundary as outputs — pure function, no tracer
+        # leakage through the outer collector.
+        def _feat_remat(xs, es):
+            local = StatsCollector()
+            out = run_features(xs, es, coll=local)
+            return out, local.updates
+
+        feats_all, _feat_updates = jax.checkpoint(_feat_remat)(stacked, epis)
+        collector.updates.update(_feat_updates)
     elif feature_chunk is None or feature_chunk >= n_stack or train:
         feats_all = run_features(stacked, epis)
     else:

@@ -99,6 +99,7 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig, tx, lr_sched
                 batch["imgs"], batch["proj_matrices"], depth_values,
                 temperature=temperature, train=True, gt_depths=batch["depth"],
                 compute_dtype=compute_dtype,
+                remat_features=getattr(train_cfg, "remat_features", False),
             )
             loss, depth_loss = final_loss(
                 outputs, batch["depth"], batch["mask"], dlossw, depth_interval

@@ -64,7 +64,12 @@ def main():
                 os.environ[k] = v
             else:
                 os.environ["CDS_ABLATE"] = abl
-        train_cfg = TrainConfig(compute_dtype=mode)
+        _remat_env = os.environ.get("CDS_TRAIN_REMAT")  # "0"/"1" override
+        train_cfg = (
+            TrainConfig(compute_dtype=mode)
+            if _remat_env is None
+            else TrainConfig(compute_dtype=mode, remat_features=_remat_env == "1")
+        )
         params = init_cds_mvsnet(jax.random.PRNGKey(0), model_cfg)
         state, (tx, sched) = init_train_state(params, train_cfg)
         step = make_train_step(model_cfg, train_cfg, tx, sched, donate=False)
