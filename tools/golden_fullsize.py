@@ -39,8 +39,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 CKPT = "/root/reference/pretrained/dtu_only/checkpoint-epoch24.pth"
+H, W, V, D, REFINE = 864, 1152, 5, 192, False
 GOLDEN = os.path.join(REPO, "tools", "golden_fullsize_torch.npz")
-H, W, V, D = 864, 1152, 5, 192
+
+
+def _set_point(point: str) -> None:
+    """--point default: the bench metric point (no refine). --point
+    protocol: the published-table configuration (1152x1536 WITH refinement,
+    scripts/dtu_eval.sh:6) — the cascade runs at half input resolution and
+    the refine net upsamples (reference model.py:146-151)."""
+    global H, W, V, D, REFINE, GOLDEN
+    if point == "protocol":
+        H, W, V, D, REFINE = 1152, 1536, 5, 192, True
+        GOLDEN = os.path.join(REPO, "tools", "golden_protocol_torch.npz")
 
 
 def _fixture():
@@ -51,7 +62,7 @@ def _fixture():
     # solve (dynamic_conv.py:46) — a small per-view z-offset keeps the
     # exact-GT rendering and makes the rig reference-safe. Both legs share
     # this fixture, so the comparison stays apples-to-apples.
-    batch = textured_plane_batch(V=V, H=H, W=W, D=D, refine=False, tz_step=6.0)
+    batch = textured_plane_batch(V=V, H=H, W=W, D=D, refine=REFINE, tz_step=6.0)
     batch.pop("gt_plane_depth")
     return batch
 
@@ -65,7 +76,7 @@ def leg_torch() -> None:
     from cds_mvsnet_tpu.models.convert import _PickleShim
 
     model = CDSMVSNet(
-        refine=False, ndepths=(48, 32, 8), depth_interals_ratio=(4, 2, 1),
+        refine=REFINE, ndepths=(48, 32, 8), depth_interals_ratio=(4, 2, 1),
         share_cr=False, cr_base_chs=(8, 8, 8), grad_method="detach",
     )
     ckpt = torch.load(CKPT, map_location="cpu", weights_only=False,
@@ -116,9 +127,10 @@ def leg_jax(precision: str) -> None:
     )
     compute_dtype = jnp.float32 if precision == "highest" else jnp.bfloat16
 
-    cfg = ModelConfig(refine=False)
+    cfg = ModelConfig(refine=REFINE)
     params = convert_checkpoint(CKPT)
-    params.pop("refine_network", None)
+    if not REFINE:
+        params.pop("refine_network", None)
     params = jax.device_put(params)
     batch = jax.tree.map(jnp.asarray, _fixture())
 
@@ -155,7 +167,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--leg", choices=("torch", "jax"), required=True)
     ap.add_argument("--precision", default="default", choices=("default", "highest"))
+    ap.add_argument("--point", default="default", choices=("default", "protocol"))
     args = ap.parse_args()
+    _set_point(args.point)
     if args.leg == "torch":
         os.environ.setdefault("OMP_NUM_THREADS", "1")
         leg_torch()
